@@ -1,0 +1,30 @@
+"""Global JAX configuration for khmer-tpu.
+
+khmer's hash space is 64-bit (``HashIntoType`` is ``uint64_t``, see reference
+include/oxli/oxli.hh:115), so the framework runs with ``jax_enable_x64``.
+On TPU, 64-bit integer ops are emulated by XLA with 32-bit pairs; the
+performance-critical paths get dedicated Pallas kernels that do the pair
+arithmetic explicitly (see khmer_tpu/pallas_kernels/).
+
+Import this module before creating any JAX arrays.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+#: dtype used for k-mer hash values everywhere (parity with oxli HashIntoType)
+import jax.numpy as jnp  # noqa: E402
+
+HASH_DTYPE = jnp.uint64
+COUNT_DTYPE = jnp.uint8
+
+# Constants mirrored from reference include/oxli/oxli.hh:81-83,116
+MAX_KCOUNT = 255
+MAX_BIGCOUNT = 65535
+DEFAULT_TAG_DENSITY = 40
+KSIZE_MAX = 32  # for the exact 2-bit hash
+
+
+def default_device():
+    return jax.devices()[0]

@@ -1,0 +1,290 @@
+"""de Bruijn graph layer: Countgraph / SmallCountgraph / Nodegraph.
+
+Parity target: reference include/oxli/hashgraph.hh:259-418 and
+src/oxli/hashgraph.cc.  A Hashgraph is a Hashtable (2-bit exact hash,
+k <= 32) plus graph semantics: implicit edges by k-1 overlap, sparse
+"tag" waypoints every DEFAULT_TAG_DENSITY k-mers of each read, stop tags
+that truncate traversals, and BFS-based connectivity queries.
+
+TPU re-design: neighbor enumeration is an 8-way vectorized hash probe
+(khmer_tpu.traversal), BFS is a batched frontier expansion with
+sort-dedup, and partitioning is label propagation (khmer_tpu.
+partitioning) instead of pointer-chasing unions.
+"""
+
+import numpy as np
+
+from khmer_tpu._config import DEFAULT_TAG_DENSITY
+from khmer_tpu.hashtable import Hashtable
+from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.storage import BitStorage, ByteStorage, NibbleStorage
+
+
+class Hashgraph(Hashtable):
+    """Hashtable + tags/stop-tags + traversal entry points."""
+
+    hash_kind = "2bit"
+
+    def __init__(self, ksize, starting_size=None, n_tables=None,
+                 primes=None):
+        super().__init__(ksize, starting_size, n_tables, primes=primes)
+        self.all_tags = set()
+        self.stop_tags = set()
+        self._tag_density = DEFAULT_TAG_DENSITY
+
+    def _post_load(self):
+        self.all_tags = set()
+        self.stop_tags = set()
+        self._tag_density = DEFAULT_TAG_DENSITY
+
+    # -- tag management (reference hashgraph.cc:375-460) -------------------
+
+    @property
+    def tag_density(self):
+        return self._tag_density
+
+    def _set_tag_density(self, d):
+        if d % 2 != 0:
+            raise ValueError("tag density must be even")
+        if self.all_tags:
+            raise RuntimeError("graph already has tags")
+        self._tag_density = d
+
+    def n_tags(self):
+        return len(self.all_tags)
+
+    def add_tag(self, kmer):
+        self.all_tags.add(self.hash(kmer) if isinstance(kmer, str)
+                          else int(kmer))
+
+    def add_stop_tag(self, kmer):
+        self.stop_tags.add(self.hash(kmer) if isinstance(kmer, str)
+                           else int(kmer))
+
+    def get_tagset(self):
+        return [self.reverse_hash(h) for h in sorted(self.all_tags)]
+
+    def get_stop_tags(self):
+        return [self.reverse_hash(h) for h in sorted(self.stop_tags)]
+
+    def consume_and_tag(self, sequence, found_tags=None):
+        """Consume a sequence and sprinkle tags every `_tag_density`
+        k-mers (reference consume_sequence_and_tag, hashgraph.cc:375-446).
+
+        Returns n_consumed = the number of NEW k-mers (the reference
+        counts only k-mers whose test_and_set_bits returned true).
+        """
+        hashes = self._hash_array(sequence)
+        if hashes.size == 0:
+            return 0
+        premin_new = np.asarray(self.storage.add_batch(hashes))
+        # sequential semantics: only a hash's first occurrence is "new"
+        _, first_idx = np.unique(hashes, return_index=True)
+        isnew = np.zeros(hashes.size, bool)
+        isnew[first_idx] = True
+        isnew &= premin_new
+        self._tag_from_hashes(hashes, isnew, found_tags)
+        return int(isnew.sum())
+
+    def _tag_from_hashes(self, hashes, isnew, found_tags=None):
+        """Reference tagging rule (hashgraph.cc:375-446): walk the read,
+        counting k-mers since the last tag; an already-tagged k-mer resets
+        the counter; at tag_density, tag and reset; finally the last
+        k-mer is tagged when since >= tag_density/2 - 1."""
+        since = self._tag_density // 2 + 1
+        all_tags = self.all_tags
+        density = self._tag_density
+        h = None
+        for i in range(hashes.size):
+            h = int(hashes[i])
+            if bool(isnew[i]):
+                since += 1
+            elif h in all_tags:
+                since = 1
+                if found_tags is not None:
+                    found_tags.add(h)
+            else:
+                since += 1
+            if since >= density:
+                all_tags.add(h)
+                if found_tags is not None:
+                    found_tags.add(h)
+                since = 1
+        if since >= density // 2 - 1:
+            all_tags.add(h)
+            if found_tags is not None:
+                found_tags.add(h)
+
+    def consume_seqfile_and_tag(self, parser_or_filename):
+        """Consume every read and tag (hashgraph.cc:432-460)."""
+        n_reads = 0
+        n_consumed = 0
+        for read in self._reads(parser_or_filename):
+            seq = read.cleaned_seq
+            n_reads += 1
+            if len(seq) >= self._ksize:
+                n_consumed += self.consume_and_tag(seq)
+        return n_reads, n_consumed
+
+    # -- tag/stoptag persistence -------------------------------------------
+
+    def save_tagset(self, filename):
+        from khmer_tpu.io import oxli_format
+
+        oxli_format.save_hashset(filename, self._ksize, self.all_tags,
+                                 ht_type=oxli_format.SAVED_TAGS,
+                                 tag_density=self._tag_density)
+
+    def load_tagset(self, filename, clear_tags=True):
+        from khmer_tpu.io import oxli_format
+
+        ksize, hashes, density = oxli_format.load_hashset(
+            filename, ht_type=oxli_format.SAVED_TAGS)
+        if ksize != self._ksize:
+            raise ValueError(
+                "tagset ksize {} does not match graph ksize {}".format(
+                    ksize, self._ksize))
+        if clear_tags:
+            self.all_tags = set()
+        self.all_tags.update(int(h) for h in hashes)
+        if density is not None:
+            self._tag_density = density
+
+    def save_stop_tags(self, filename):
+        from khmer_tpu.io import oxli_format
+
+        oxli_format.save_hashset(filename, self._ksize, self.stop_tags,
+                                 ht_type=oxli_format.SAVED_STOPTAGS)
+
+    def load_stop_tags(self, filename, clear_tags=True):
+        from khmer_tpu.io import oxli_format
+
+        ksize, hashes, _ = oxli_format.load_hashset(
+            filename, ht_type=oxli_format.SAVED_STOPTAGS)
+        if ksize != self._ksize:
+            raise ValueError(
+                "stoptags ksize {} does not match graph ksize {}".format(
+                    ksize, self._ksize))
+        if clear_tags:
+            self.stop_tags = set()
+        self.stop_tags.update(int(h) for h in hashes)
+
+    # -- graph queries (implemented in khmer_tpu.traversal) -----------------
+
+    def kmer_degree(self, kmer):
+        from khmer_tpu import traversal
+
+        return traversal.kmer_degree(self, kmer)
+
+    def neighbors(self, kmer):
+        from khmer_tpu import traversal
+
+        return traversal.neighbors(self, kmer)
+
+    def calc_connected_graph_size(self, kmer, max_size=0,
+                                  break_on_circumference=False):
+        from khmer_tpu import traversal
+
+        return traversal.calc_connected_graph_size(
+            self, kmer, max_size=max_size)
+
+    def traverse_from_kmer(self, kmer, radius, max_count=None):
+        from khmer_tpu import traversal
+
+        return traversal.traverse_from_kmer(self, kmer, radius,
+                                            max_count=max_count)
+
+    def find_high_degree_nodes(self, sequence):
+        from khmer_tpu import traversal
+
+        return traversal.find_high_degree_nodes(self, sequence)
+
+    def traverse_linear_path(self, kmer, adjacencies, visited, degree_nodes):
+        from khmer_tpu import traversal
+
+        return traversal.traverse_linear_path(self, kmer, adjacencies,
+                                              visited, degree_nodes)
+
+    def extract_unique_paths(self, sequence, min_length, min_unique_f):
+        from khmer_tpu import traversal
+
+        return traversal.extract_unique_paths(self, sequence, min_length,
+                                              min_unique_f)
+
+    def assemble_linear_path(self, kmer, stop_filter=None):
+        from khmer_tpu.assembly import LinearAssembler
+
+        return LinearAssembler(self, stop_filter).assemble(kmer)
+
+    # -- partitioning ---------------------------------------------------------
+
+    def do_subset_partition(self, start_kmer=0, end_kmer=0,
+                            break_on_stop_tags=False, stop_big_traversals=False):
+        from khmer_tpu.partitioning import SubsetPartition
+
+        subset = SubsetPartition(self)
+        subset.do_partition(start_kmer, end_kmer, break_on_stop_tags,
+                            stop_big_traversals)
+        return subset
+
+    def consume_seqfile_and_tag_with_reads_parser(self, parser):
+        return self.consume_seqfile_and_tag(parser)
+
+    def consume_partitioned_fasta(self, filename):
+        """Load a partition-annotated FASTA (hashgraph.cc:635-690):
+        reads named `...\\tPARTITION_ID`; tag the first k-mer of each
+        read with its partition."""
+        from khmer_tpu.partitioning import SubsetPartition
+
+        subset = SubsetPartition(self)
+        n_reads = 0
+        n_consumed = 0
+        for read in self._reads(filename):
+            n_reads += 1
+            seq = read.cleaned_seq
+            if len(seq) < self._ksize:
+                continue
+            name_parts = read.name.rsplit("\t", 1)
+            if len(name_parts) != 2:
+                raise ValueError(
+                    "invalid partitioned read name %r" % read.name)
+            pid = int(name_parts[1])
+            n_consumed += self.consume(seq)
+            first = int(self._hash_array(seq)[0])
+            self.all_tags.add(first)
+            if pid != 0:
+                subset.assign_partition_id(first, pid)
+        self.partition = subset
+        return n_reads, n_consumed
+
+    def divide_tags_into_subsets(self, subset_size):
+        """Every subset_size-th tag, in sorted order (hashgraph.cc:616-633)."""
+        divvy = []
+        for i, tag in enumerate(sorted(self.all_tags)):
+            if i % subset_size == 0:
+                divvy.append(tag)
+        return divvy
+
+
+class Countgraph(Hashgraph):
+    """8-bit counting de Bruijn graph (2-bit exact hash, k <= 32)."""
+
+    storage_class = ByteStorage
+
+
+class SmallCountgraph(Hashgraph):
+    """4-bit counting de Bruijn graph."""
+
+    storage_class = NibbleStorage
+
+
+class Nodegraph(Hashgraph):
+    """Presence/absence (Bloom) de Bruijn graph."""
+
+    storage_class = BitStorage
+
+    def update(self, other):
+        """Union with another same-shaped Nodegraph (graphs.pyx name)."""
+        self.storage.update_from(other.storage)
+
+    update_from = update

@@ -1,0 +1,583 @@
+"""k-mer-aware table layer: the TPU equivalents of khmer's Hashtable
+hierarchy (reference include/oxli/hashtable.hh:132-578 and the Cython
+façade khmer/_oxli/graphs.pyx).
+
+Classes:
+  Hashtable       — abstract: storage + hash function + consume/query API
+  Counttable      — ByteStorage + murmur (graphs.pyx:454)
+  SmallCounttable — NibbleStorage + murmur
+  Nodetable       — BitStorage + murmur
+  Countgraph / SmallCountgraph / Nodegraph — 2-bit exact hash + de Bruijn
+      graph semantics (defined in khmer_tpu.graph, subclassing this layer)
+
+Device dataflow: sequences are encoded host-side into flat byte buffers
+(reads concatenated; windows that straddle read boundaries are masked),
+then a single fused jitted kernel hashes every window and scatters the
+batch into the sketch — replacing the reference's per-k-mer hot loop
+(src/oxli/hashtable.cc:133-158) with one device pass per ~1M-base chunk.
+"""
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from khmer_tpu._config import MAX_KCOUNT
+from khmer_tpu.io.fastx import FastxReader, Read
+from khmer_tpu.ops import encode as enc
+from khmer_tpu.ops.hashing import (
+    forward_hash,
+    hash_murmur3_scalar,
+    kmer_hashes_2bit,
+    kmer_hashes_murmur_bytes,
+    reverse_hash,
+)
+from khmer_tpu.ops.sketch_ops import GET_FNS, UPDATE_FNS
+from khmer_tpu.primes import get_n_primes_near_x
+from khmer_tpu.storage import BitStorage, ByteStorage, NibbleStorage
+
+U8 = jnp.uint8
+U32 = jnp.uint32
+U64 = jnp.uint64
+
+# flat chunk length (bases per device call) for bulk consume
+CHUNK = 1 << 20
+# width buckets for single-sequence query calls (recompilation control)
+_WIDTH_BUCKETS = (64, 128, 256, 512, 1024, 4096, 16384, 65536, CHUNK)
+
+
+def _bucket_width(n):
+    for b in _WIDTH_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // CHUNK) * CHUNK
+
+
+def _hash_windows(data, k, hash_kind):
+    """Hashes of every window of a flat [S] byte/code buffer -> [S-k+1]."""
+    if hash_kind == "2bit":
+        h, _ = kmer_hashes_2bit(
+            data[None, :], jnp.array([data.shape[0]], jnp.int32), k)
+    else:
+        h, _ = kmer_hashes_murmur_bytes(
+            data[None, :], jnp.array([data.shape[0]], jnp.int32), k)
+    return h[0]
+
+
+@lru_cache(maxsize=None)
+def _make_consume_fn(spec, k, hash_kind, masked, banded):
+    """Fused hash+scatter update kernel over a flat chunk."""
+
+    def fn(table, occ, uniq, data, weights, *extra):
+        hashes = _hash_windows(data, k, hash_kind)
+        w = weights[: hashes.shape[0]].astype(U32)
+        i = 0
+        if banded:
+            bmin, bmax = extra[i], extra[i + 1]
+            i += 2
+            w = w * ((hashes >= bmin) & (hashes < bmax)).astype(U32)
+        if masked is not None:
+            mask_table, threshold = extra[i], extra[i + 1]
+            mc = GET_FNS[masked.kind](masked, mask_table, hashes)
+            w = w * (mc.astype(U32) <= threshold).astype(U32)
+        return UPDATE_FNS[spec.kind](spec, table, occ, uniq, hashes, w)
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _make_hashes_fn(k, hash_kind):
+    def fn(data):
+        return _hash_windows(data, k, hash_kind)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind):
+    """One chunk of abundance_distribution (hashtable.cc:460-501):
+    first-occurrence k-mers (vs tracking filter) contribute their count."""
+
+    def fn(table, t_table, t_occ, t_uniq, data, weights):
+        hashes = _hash_windows(data, k, hash_kind)
+        w = weights[: hashes.shape[0]].astype(U32)
+        # pre-batch tracking membership
+        member = GET_FNS[tracking_spec.kind](tracking_spec, t_table, hashes)
+        w = w * (member == 0).astype(U32)
+        # first occurrence within the chunk
+        n = hashes.shape[0]
+        order = jnp.argsort(hashes, stable=True)
+        hs = hashes[order]
+        ws = w[order]
+        first = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+        seg = jnp.cumsum(first) - 1
+        cum = jnp.cumsum(ws)
+        base = jnp.zeros(n, cum.dtype).at[seg].max(
+            jnp.where(first, cum - ws, 0))
+        seg_cum = cum - base[seg]
+        first_valid = (ws > 0) & (seg_cum == 1)
+        w_first = jnp.zeros(n, U32).at[order].set(first_valid.astype(U32))
+        t_table, t_occ, t_uniq, _ = UPDATE_FNS[tracking_spec.kind](
+            tracking_spec, t_table, t_occ, t_uniq, hashes, w_first)
+        counts = GET_FNS[spec.kind](spec, table, hashes)
+        return t_table, t_occ, t_uniq, counts, w_first, hashes
+
+    return jax.jit(fn, donate_argnums=(1,))
+
+
+class _FlatBatcher:
+    """Accumulate encoded reads into fixed-size flat chunks + window masks."""
+
+    def __init__(self, k, chunk=CHUNK):
+        self.k = k
+        self.chunk = chunk
+        self.parts = []
+        self.masks = []
+        self.filled = 0
+
+    def add(self, codes):
+        """Queue one encoded read; yields (data, weights) filled chunks.
+
+        Windows near a chunk boundary cannot be hashed in that chunk, so
+        after a flush the read continues with a k-1 base overlap and those
+        windows are re-emitted (and re-masked) in the next chunk; no window
+        is ever counted twice because windows past position chunk-k are
+        dropped when weights are sliced to the hash width.
+        """
+        k = self.k
+        n = codes.shape[0]
+        start = 0
+        while True:
+            space = self.chunk - self.filled
+            take = min(n - start, space)
+            if take > 0:
+                piece = codes[start: start + take]
+                m = np.zeros(take, np.uint8)
+                nvalid = (n - start) - k + 1  # windows fully inside the read
+                if nvalid > 0:
+                    m[: min(nvalid, take)] = 1
+                self.parts.append(piece)
+                self.masks.append(m)
+                self.filled += take
+            if self.filled == self.chunk:
+                yield self._flush()
+                # first window not evaluated in the flushed chunk
+                start = max(0, start + take - (k - 1))
+                if n - start < k:
+                    return
+            else:
+                return
+
+    def _flush(self):
+        data = np.concatenate(self.parts) if self.parts else np.zeros(
+            0, np.uint8)
+        mask = np.concatenate(self.masks) if self.masks else np.zeros(
+            0, np.uint8)
+        self.parts = []
+        self.masks = []
+        self.filled = 0
+        return data, mask
+
+    def drain(self):
+        if self.filled == 0:
+            return None
+        data, mask = self._flush()
+        pad = self.chunk - data.shape[0]
+        if pad:
+            data = np.concatenate([data, np.zeros(pad, np.uint8)])
+            mask = np.concatenate([mask, np.zeros(pad, np.uint8)])
+        return data, mask
+
+
+class Hashtable:
+    """Base k-mer table (count/add/get + bulk consume + per-read stats)."""
+
+    storage_class = None
+    hash_kind = None  # '2bit' or 'murmur'
+
+    def __init__(self, ksize, starting_size=None, n_tables=None,
+                 primes=None):
+        ksize = int(ksize)
+        if self.hash_kind == "2bit" and ksize > 32:
+            raise ValueError("k-mer size must be <= 32 for this table type")
+        if ksize < 1 or ksize > 255:
+            raise ValueError("k-mer size must be in [1, 255]")
+        if primes is None:
+            primes = get_n_primes_near_x(n_tables, starting_size)
+            if len(primes) != n_tables:
+                raise RuntimeError(
+                    "unable to find {} primes < {}".format(
+                        n_tables, starting_size))
+        self._ksize = ksize
+        self.storage = self.storage_class(primes)
+
+    # -- identity/geometry --------------------------------------------------
+
+    def ksize(self):
+        return self._ksize
+
+    def hashsizes(self):
+        return self.storage.get_tablesizes()
+
+    def n_tables(self):
+        return self.storage.n_tables
+
+    def n_occupied(self):
+        return self.storage.n_occupied()
+
+    def n_unique_kmers(self):
+        return self.storage.n_unique_kmers()
+
+    def set_use_bigcount(self, b):
+        self.storage.set_use_bigcount(b)
+
+    def get_use_bigcount(self):
+        return self.storage.get_use_bigcount()
+
+    # -- encoding helpers ----------------------------------------------------
+
+    def _encode(self, sequence):
+        """Encode a raw sequence for this table's hash function."""
+        if self.hash_kind == "2bit":
+            return enc.encode_sequence(sequence)
+        return np.frombuffer(sequence.encode("ascii"), np.uint8)
+
+    def _sanitize_seq_kmer(self, kmer):
+        if len(kmer) != self._ksize:
+            raise ValueError(
+                "Expected k-mer length {} but got {}.".format(
+                    self._ksize, len(kmer)))
+        return kmer
+
+    def _valid_sequence(self, sequence):
+        if len(sequence) < self._ksize:
+            raise ValueError(
+                "sequence length ({}) must >= the hashtable k-mer size "
+                "({})".format(len(sequence), self._ksize))
+        return sequence
+
+    # -- hashing --------------------------------------------------------------
+
+    def hash(self, kmer):
+        """Hash of a single k-mer (string or passthrough int)."""
+        if isinstance(kmer, (int, np.integer)):
+            return int(kmer)
+        self._sanitize_seq_kmer(kmer)
+        if self.hash_kind == "2bit":
+            return forward_hash(kmer, self._ksize)
+        return hash_murmur3_scalar(kmer)
+
+    def reverse_hash(self, khash):
+        if self.hash_kind != "2bit":
+            raise ValueError(
+                "reverse_hash is only supported for 2-bit exact tables")
+        return reverse_hash(khash, self._ksize)
+
+    def get_kmer_hashes(self, sequence):
+        """Ordered hashes of every k-mer in sequence."""
+        self._valid_sequence(sequence)
+        return [int(h) for h in self._hash_array(sequence)]
+
+    def _hash_array(self, sequence):
+        """All k-mer hashes of a sequence as a numpy uint64 array."""
+        codes = self._encode(sequence)
+        n = codes.shape[0]
+        if n < self._ksize:
+            return np.zeros(0, np.uint64)
+        w = _bucket_width(n)
+        data = np.zeros(w, np.uint8)
+        data[:n] = codes
+        fn = _make_hashes_fn(self._ksize, self.hash_kind)
+        hashes = np.asarray(fn(jnp.asarray(data)))
+        return hashes[: n - self._ksize + 1]
+
+    def get_kmers(self, sequence):
+        """All k-mer substrings, in order."""
+        k = self._ksize
+        if len(sequence) < k:
+            return []
+        return [sequence[i: i + k] for i in range(len(sequence) - k + 1)]
+
+    # -- single k-mer ops ------------------------------------------------------
+
+    def add(self, kmer):
+        """Increment this k-mer's count; True when previously unseen."""
+        return self.storage.add(self.hash(kmer) if isinstance(kmer, str)
+                                else int(kmer))
+
+    def count(self, kmer):
+        self.add(kmer)
+
+    def get(self, kmer):
+        """Count of a k-mer (string or hash)."""
+        h = self.hash(kmer) if isinstance(kmer, str) else int(kmer)
+        return self.storage.get(h)
+
+    # -- bulk consume -----------------------------------------------------------
+
+    def consume(self, sequence):
+        """Count every k-mer in the sequence; returns how many."""
+        self._valid_sequence(sequence)
+        hashes = self._hash_array(sequence)
+        self.storage.add_batch(hashes)
+        return int(hashes.shape[0])
+
+    def _run_consume(self, reads_iter, mask=None, threshold=0,
+                     num_bands=None, band=None):
+        """Shared driver for consume_seqfile* variants.
+
+        Returns (n_reads, n_consumed)."""
+        from khmer_tpu.ops.hashing import compute_band_interval
+
+        banded = num_bands is not None
+        masked_spec = mask.storage.spec if mask is not None else None
+        fn = _make_consume_fn(self.storage.spec, self._ksize,
+                              self.hash_kind, masked_spec, banded)
+        extra = []
+        if banded:
+            bmin, bmax = compute_band_interval(num_bands, band)
+            extra += [jnp.asarray(bmin, U64), jnp.asarray(bmax, U64)]
+        if mask is not None:
+            extra += [mask.storage.table, jnp.asarray(threshold, U32)]
+
+        st = self.storage
+        batcher = _FlatBatcher(self._ksize)
+        n_reads = 0
+        n_consumed = 0
+        table, occ, uniq = st.table, st._n_occupied, st._n_unique
+        auxes = []
+
+        def run(data, weights):
+            nonlocal table, occ, uniq
+            table, occ, uniq, aux = fn(
+                table, occ, uniq, jnp.asarray(data), jnp.asarray(weights),
+                *extra)
+            if st.get_use_bigcount() and "bigcount_hashes" in aux:
+                auxes.append(aux)
+
+        for read in reads_iter:
+            seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
+                else str(read)
+            n_reads += 1
+            if len(seq) >= self._ksize:
+                n_consumed += len(seq) - self._ksize + 1
+            codes = self._encode(seq)
+            for data, weights in batcher.add(codes):
+                run(data, weights)
+        tail = batcher.drain()
+        if tail is not None:
+            run(*tail)
+
+        st.table, st._n_occupied, st._n_unique = table, occ, uniq
+        for aux in auxes:
+            st._apply_bigcount_triggers(
+                np.asarray(aux["bigcount_hashes"]),
+                np.asarray(aux["bigcount_triggers"]))
+        return n_reads, n_consumed
+
+    def _reads(self, parser_or_filename):
+        if isinstance(parser_or_filename, str):
+            return iter(FastxReader(parser_or_filename))
+        return iter(parser_or_filename)
+
+    def consume_seqfile(self, parser_or_filename):
+        """Count every k-mer from every (cleaned) read in a file.
+
+        Parity: Hashtable::consume_seqfile, src/oxli/hashtable.cc:133-158."""
+        return self._run_consume(self._reads(parser_or_filename))
+
+    def consume_seqfile_with_mask(self, parser_or_filename, mask,
+                                  threshold=0):
+        """Count k-mers whose count in `mask` is <= threshold
+        (hashtable.cc:160-198)."""
+        return self._run_consume(self._reads(parser_or_filename),
+                                 mask=mask, threshold=threshold)
+
+    def consume_seqfile_banding(self, parser_or_filename, num_bands, band):
+        """Count only k-mers whose hash falls in the given band
+        (hashtable.hh:302-344)."""
+        return self._run_consume(self._reads(parser_or_filename),
+                                 num_bands=num_bands, band=band)
+
+    def consume_seqfile_banding_with_mask(self, parser_or_filename,
+                                          num_bands, band, mask,
+                                          threshold=0):
+        return self._run_consume(self._reads(parser_or_filename),
+                                 mask=mask, threshold=threshold,
+                                 num_bands=num_bands, band=band)
+
+    # -- per-sequence statistics ------------------------------------------------
+
+    def get_kmer_counts(self, sequence):
+        """Ordered counts of every k-mer in sequence."""
+        self._valid_sequence(sequence)
+        hashes = self._hash_array(sequence)
+        return [int(c) for c in self.storage.get_batch(hashes)]
+
+    def get_min_count(self, sequence):
+        # reference quirk: the running minimum starts at MAX_KCOUNT, so the
+        # result never exceeds 255 even with bigcounts (hashtable.cc:425-443)
+        return min(MAX_KCOUNT, min(self.get_kmer_counts(sequence)))
+
+    def get_max_count(self, sequence):
+        return max(self.get_kmer_counts(sequence))
+
+    def get_median_count(self, sequence):
+        """(median, average, stddev) of k-mer counts
+        (hashtable.cc:307-339; median = sorted[n/2], population stddev)."""
+        counts = np.asarray(self.get_kmer_counts(sequence), np.float64)
+        if counts.size == 0:
+            raise ValueError("no k-mer counts for this string; too short?")
+        avg = float(counts.mean())
+        stddev = float(math.sqrt(((counts - avg) ** 2).mean()))
+        med = int(np.sort(counts)[counts.size // 2])
+        return med, avg, stddev
+
+    def median_at_least(self, sequence, cutoff):
+        """True when >= half the k-mers have count >= cutoff
+        (hashtable.cc:341-370)."""
+        counts = self.storage.get_batch(self._hash_array(sequence))
+        n = counts.size
+        min_req = int(0.5 + n / 2.0)
+        return bool((counts >= cutoff).sum() >= min_req)
+
+    def _trim_where(self, sequence, bad_mask):
+        """Shared trim logic (hashtable.cc:503-570), including the
+        reference quirk that a single-k-mer sequence always trims to 0."""
+        n = bad_mask.size
+        if n == 1:
+            return "", 0
+        bad = np.nonzero(bad_mask)[0]
+        if bad.size == 0:
+            return sequence, len(sequence)
+        first = int(bad[0])
+        if first == 0:
+            return "", 0
+        trim_at = first + self._ksize - 1
+        return sequence[:trim_at], trim_at
+
+    def trim_on_abundance(self, sequence, abundance):
+        """Trim at the first k-mer with count below `abundance`."""
+        self._valid_sequence(sequence)
+        counts = self.storage.get_batch(self._hash_array(sequence))
+        return self._trim_where(sequence, counts < abundance)
+
+    def trim_below_abundance(self, sequence, abundance):
+        """Trim at the first k-mer with count above `abundance`."""
+        self._valid_sequence(sequence)
+        counts = self.storage.get_batch(self._hash_array(sequence))
+        return self._trim_where(sequence, counts > abundance)
+
+    def find_spectral_error_positions(self, sequence, max_count):
+        """Positions of low-abundance k-mer stretches
+        (hashtable.cc:572-625)."""
+        self._valid_sequence(sequence)
+        counts = self.storage.get_batch(self._hash_array(sequence))
+        n = counts.size
+        posns = []
+        i = 0
+        while i < n and counts[i] <= max_count:
+            i += 1
+        if i == n:
+            return posns
+        if i > 0:
+            posns.append(i - 1)
+        j = i + 1
+        while j < n:
+            if counts[j] <= max_count:
+                posns.append(j + self._ksize - 1)
+                j += 1
+                while j < n and counts[j] <= max_count:
+                    j += 1
+            j += 1
+        return posns
+
+    # -- abundance distribution ---------------------------------------------------
+
+    def abundance_distribution(self, parser_or_filename, tracking):
+        """Histogram of k-mer counts over a file, deduplicated through the
+        `tracking` filter (hashtable.cc:460-501).  Returns a list of
+        MAX_BIGCOUNT+1 entries."""
+        from khmer_tpu._config import MAX_BIGCOUNT
+
+        fn = _make_abund_dist_fn(self.storage.spec,
+                                 tracking.storage.spec,
+                                 self._ksize, self.hash_kind)
+        dist = np.zeros(MAX_BIGCOUNT + 1, np.uint64)
+        ts = tracking.storage
+        batcher = _FlatBatcher(self._ksize)
+        t_table, t_occ, t_uniq = ts.table, ts._n_occupied, ts._n_unique
+
+        def run(data, weights):
+            nonlocal t_table, t_occ, t_uniq
+            t_table, t_occ, t_uniq, counts, w_first, hashes = fn(
+                self.storage.table, t_table, t_occ, t_uniq,
+                jnp.asarray(data), jnp.asarray(weights))
+            counts = np.asarray(counts)
+            w = np.asarray(w_first).astype(bool)
+            counts = counts[w]
+            if self.storage.get_use_bigcount() and self.storage.bigcounts:
+                counts = self.storage._overlay_bigcounts(
+                    counts, np.asarray(hashes)[w])
+            np.add.at(dist, counts, 1)
+
+        for read in self._reads(parser_or_filename):
+            seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
+                else str(read)
+            codes = self._encode(seq)
+            for data, weights in batcher.add(codes):
+                run(data, weights)
+        tail = batcher.drain()
+        if tail is not None:
+            run(*tail)
+        ts.table, ts._n_occupied, ts._n_unique = t_table, t_occ, t_uniq
+        return [int(x) for x in dist]
+
+    abundance_distribution_with_reads_parser = abundance_distribution
+
+    # -- save/load ----------------------------------------------------------------
+
+    def save(self, file_name):
+        from khmer_tpu.io import oxli_format
+
+        oxli_format.save_storage(file_name, self._ksize, self.storage)
+
+    @classmethod
+    def load(cls, file_name):
+        from khmer_tpu.io import oxli_format
+
+        kind = cls.storage_class.kind
+        store, ksize = oxli_format.load_storage(
+            file_name, expected_kinds=(kind,))
+        obj = cls.__new__(cls)
+        obj._ksize = ksize
+        obj.storage = store
+        obj._post_load()
+        return obj
+
+    def _post_load(self):
+        pass
+
+
+class Counttable(Hashtable):
+    """Count-Min sketch with murmur hashing (graphs.pyx:454; unbounded k)."""
+
+    storage_class = ByteStorage
+    hash_kind = "murmur"
+
+
+class SmallCounttable(Hashtable):
+    """4-bit Count-Min sketch with murmur hashing."""
+
+    storage_class = NibbleStorage
+    hash_kind = "murmur"
+
+
+class Nodetable(Hashtable):
+    """Bloom filter with murmur hashing."""
+
+    storage_class = BitStorage
+    hash_kind = "murmur"

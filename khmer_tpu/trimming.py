@@ -1,0 +1,37 @@
+"""Read trimming on k-mer abundance (parity: reference
+khmer/trimming.py:65-95)."""
+
+from khmer_tpu.io.fastx import Read
+
+
+def trim_record(countgraph, record, cutoff, variable_coverage=False,
+                normalize_to=None):
+    """Trim one record at its first low-abundance k-mer.
+
+    Returns (record_or_None, did_trim): None when the trimmed read would
+    be shorter than k; unmodified record when nothing was trimmed (or the
+    read is below the coverage threshold in variable-coverage mode)."""
+    name = record.name
+    seq = record.sequence
+    seq_clean = record.cleaned_seq
+
+    if variable_coverage:  # only trim when sequence has high enough C
+        if not countgraph.median_at_least(seq_clean, normalize_to):
+            return record, False
+
+    _, trim_at = countgraph.trim_on_abundance(seq_clean, cutoff)
+
+    if trim_at < countgraph.ksize():
+        return None, True
+
+    if trim_at == len(seq):
+        return record, False
+
+    trim_seq = seq[:trim_at]
+    quality = getattr(record, "quality", None)
+    if quality is not None:
+        trim_rec = Read(name=name, sequence=trim_seq,
+                        quality=quality[:trim_at])
+    else:
+        trim_rec = Read(name=name, sequence=trim_seq)
+    return trim_rec, True
