@@ -4,13 +4,17 @@ on real TPU hardware)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# the env var alone is not reliable when a TPU platform plugin is
+# registered; force the CPU backend explicitly
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/khmer_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
