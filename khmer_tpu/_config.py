@@ -9,9 +9,23 @@ arithmetic explicitly (see khmer_tpu/pallas_kernels/).
 Import this module before creating any JAX arrays.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# KHMER_TPU_PLATFORM=cpu forces the CPU backend (the JAX_PLATFORMS env
+# var alone can lose to a registered TPU platform plugin); useful for
+# running the CLI scripts host-side on small inputs.
+_plat = os.environ.get("KHMER_TPU_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
+# persistent compilation cache: first compiles of the big fused kernels
+# take tens of seconds (especially over a tunneled TPU); cache them.
+jax.config.update("jax_compilation_cache_dir", "/tmp/khmer_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 #: dtype used for k-mer hash values everywhere (parity with oxli HashIntoType)
 import jax.numpy as jnp  # noqa: E402

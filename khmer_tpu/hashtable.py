@@ -32,10 +32,11 @@ from khmer_tpu.ops.hashing import (
     forward_hash,
     hash_murmur3_scalar,
     kmer_hashes_2bit,
+    kmer_hashes_2bit_pm,
     kmer_hashes_murmur_bytes,
     reverse_hash,
 )
-from khmer_tpu.ops.sketch_ops import GET_FNS, UPDATE_FNS
+from khmer_tpu.ops.sketch_ops import sketch_get, sketch_update
 from khmer_tpu.primes import get_n_primes_near_x
 from khmer_tpu.storage import BitStorage, ByteStorage, NibbleStorage
 
@@ -43,8 +44,11 @@ U8 = jnp.uint8
 U32 = jnp.uint32
 U64 = jnp.uint64
 
-# flat chunk length (bases per device call) for bulk consume
+# flat chunk length (bases per device call) for bulk consume, and the
+# row payload it is folded into on device ([R, P + k - 1] rows hash far
+# better on the VPU than one [1, CHUNK] strip)
 CHUNK = 1 << 20
+ROW_PAYLOAD = 1 << 14
 # width buckets for single-sequence query calls (recompilation control)
 _WIDTH_BUCKETS = (64, 128, 256, 512, 1024, 4096, 16384, 65536, CHUNK)
 
@@ -56,15 +60,59 @@ def _bucket_width(n):
     return -(-n // CHUNK) * CHUNK
 
 
-def _hash_windows(data, k, hash_kind):
-    """Hashes of every window of a flat [S] byte/code buffer -> [S-k+1]."""
+def _hash_windows(data, k, hash_kind, assume_acgt=False):
+    """Hashes of every window of a flat [S] byte/code buffer -> [S-k+1].
+
+    assume_acgt applies to the murmur path only (cleaned bulk consume)."""
     if hash_kind == "2bit":
         h, _ = kmer_hashes_2bit(
             data[None, :], jnp.array([data.shape[0]], jnp.int32), k)
     else:
         h, _ = kmer_hashes_murmur_bytes(
-            data[None, :], jnp.array([data.shape[0]], jnp.int32), k)
+            data[None, :], jnp.array([data.shape[0]], jnp.int32), k,
+            assume_acgt=assume_acgt)
     return h[0]
+
+
+def _rows_from_flat(data, k, payload):
+    """Fold a flat [C] stream into [R, payload + k - 1] rows, each row
+    carrying the next row's first k-1 bases so every window of the
+    stream is evaluable in exactly one row."""
+    R = data.shape[0] // payload
+    main = data.reshape(R, payload)
+    tail = jnp.concatenate(
+        [main[1:, : k - 1],
+         jnp.zeros((1, k - 1), data.dtype)], axis=0)
+    return jnp.concatenate([main, tail], axis=1)
+
+
+def _chunk_hashes_weights(data, weights, k, hash_kind, payload):
+    """Fused hashing of a flat chunk: returns (hashes, w) flat device
+    arrays covering every window of the chunk exactly once (in
+    phase-major order for the 2-bit path — bulk consumers are
+    order-agnostic)."""
+    C = data.shape[0]
+    R = C // payload
+    rows = _rows_from_flat(data, k, payload)
+    # a window is real iff it starts in the row's payload region and
+    # does not run off the end of the chunk
+    w2d = weights.reshape(R, payload)
+    limit = jnp.zeros((R, payload), weights.dtype).at[:].set(1)
+    limit = limit.at[R - 1, payload - k + 1:].set(0)
+    w2d = w2d * limit
+    if hash_kind == "2bit":
+        canon, _, _, _ = kmer_hashes_2bit_pm(
+            rows, jnp.full((R,), rows.shape[1], jnp.int32), k)
+        nw = canon.shape[-1]
+        wpad = jnp.zeros((R, 32 * nw), weights.dtype)
+        wpad = wpad.at[:, :payload].set(w2d)
+        w_pm = jnp.transpose(wpad.reshape(R, nw, 32), (2, 0, 1))
+        return canon.reshape(-1), w_pm.reshape(-1)
+    h, _ = kmer_hashes_murmur_bytes(
+        rows, jnp.full((R,), rows.shape[1], jnp.int32), k,
+        assume_acgt=True)
+    # murmur rows yield exactly `payload` windows per row, in order
+    return h[:, :payload].reshape(-1), w2d.reshape(-1)
 
 
 @lru_cache(maxsize=None)
@@ -72,8 +120,8 @@ def _make_consume_fn(spec, k, hash_kind, masked, banded):
     """Fused hash+scatter update kernel over a flat chunk."""
 
     def fn(table, occ, uniq, data, weights, *extra):
-        hashes = _hash_windows(data, k, hash_kind)
-        w = weights[: hashes.shape[0]].astype(U32)
+        hashes, w = _chunk_hashes_weights(
+            data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
         i = 0
         if banded:
             bmin, bmax = extra[i], extra[i + 1]
@@ -81,9 +129,9 @@ def _make_consume_fn(spec, k, hash_kind, masked, banded):
             w = w * ((hashes >= bmin) & (hashes < bmax)).astype(U32)
         if masked is not None:
             mask_table, threshold = extra[i], extra[i + 1]
-            mc = GET_FNS[masked.kind](masked, mask_table, hashes)
+            mc = sketch_get(masked, mask_table, hashes)
             w = w * (mc.astype(U32) <= threshold).astype(U32)
-        return UPDATE_FNS[spec.kind](spec, table, occ, uniq, hashes, w)
+        return sketch_update(spec, table, occ, uniq, hashes, w)
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -97,33 +145,38 @@ def _make_hashes_fn(k, hash_kind):
 
 
 @lru_cache(maxsize=None)
-def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind):
+def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind, want_lanes):
     """One chunk of abundance_distribution (hashtable.cc:460-501):
-    first-occurrence k-mers (vs tracking filter) contribute their count."""
+    k-mers not yet in the tracking filter contribute their count once.
 
-    def fn(table, t_table, t_occ, t_uniq, data, weights):
-        hashes = _hash_windows(data, k, hash_kind)
-        w = weights[: hashes.shape[0]].astype(U32)
-        # pre-batch tracking membership
-        member = GET_FNS[tracking_spec.kind](tracking_spec, t_table, hashes)
+    Returns a dense histogram over [0, read_cap]; with want_lanes the
+    per-distinct (count, hash) lanes also come back for host-side
+    bigcount-overlay correction (only needed for graphs loaded from
+    files carrying a bigcount map)."""
+    from khmer_tpu._config import MAX_BIGCOUNT
+
+    def fn(table, t_table, t_uniq, data, weights):
+        hashes, w = _chunk_hashes_weights(
+            data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
+        # pre-update tracking membership
+        member = sketch_get(tracking_spec, t_table, hashes)
         w = w * (member == 0).astype(U32)
-        # first occurrence within the chunk
-        n = hashes.shape[0]
-        order = jnp.argsort(hashes, stable=True)
-        hs = hashes[order]
-        ws = w[order]
-        first = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
-        seg = jnp.cumsum(first) - 1
-        cum = jnp.cumsum(ws)
-        base = jnp.zeros(n, cum.dtype).at[seg].max(
-            jnp.where(first, cum - ws, 0))
-        seg_cum = cum - base[seg]
-        first_valid = (ws > 0) & (seg_cum == 1)
-        w_first = jnp.zeros(n, U32).at[order].set(first_valid.astype(U32))
-        t_table, t_occ, t_uniq, _ = UPDATE_FNS[tracking_spec.kind](
-            tracking_spec, t_table, t_occ, t_uniq, hashes, w_first)
-        counts = GET_FNS[spec.kind](spec, table, hashes)
-        return t_table, t_occ, t_uniq, counts, w_first, hashes
+        # one histogram lane per distinct new hash: sort, mark firsts
+        key = jnp.where(w > 0, hashes, ~jnp.uint64(0))
+        ks, ws = jax.lax.sort((key, w), num_keys=1)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & (ws > 0)
+        counts = sketch_get(spec, table, ks)
+        lane_counts = jnp.where(first, counts.astype(U32), 0)
+        # non-first lanes add zero weight at index 0 — harmless
+        dist = jnp.zeros(MAX_BIGCOUNT + 1, U64).at[lane_counts].add(
+            first.astype(U64))
+        # membership add: every new lane (duplicates harmless for bloom)
+        t_table, _, t_uniq, _ = sketch_update(
+            tracking_spec, t_table, jnp.zeros((), U64), t_uniq, hashes, w)
+        if want_lanes:
+            return t_table, t_uniq, dist, counts, first, ks
+        return t_table, t_uniq, dist
 
     return jax.jit(fn, donate_argnums=(1,))
 
@@ -333,8 +386,8 @@ class Hashtable:
         from khmer_tpu.ops.hashing import compute_band_interval
 
         banded = num_bands is not None
-        masked_spec = mask.storage.spec if mask is not None else None
-        fn = _make_consume_fn(self.storage.spec, self._ksize,
+        masked_spec = mask.storage._read_spec() if mask is not None else None
+        fn = _make_consume_fn(self.storage._read_spec(), self._ksize,
                               self.hash_kind, masked_spec, banded)
         extra = []
         if banded:
@@ -347,7 +400,8 @@ class Hashtable:
         batcher = _FlatBatcher(self._ksize)
         n_reads = 0
         n_consumed = 0
-        table, occ, uniq = st.table, st._n_occupied, st._n_unique
+        table, uniq = st.table, st._n_unique
+        occ = jnp.zeros((), U64)
         auxes = []
 
         def run(data, weights):
@@ -371,11 +425,10 @@ class Hashtable:
         if tail is not None:
             run(*tail)
 
-        st.table, st._n_occupied, st._n_unique = table, occ, uniq
+        st.table, st._n_unique = table, uniq
+        st._loaded_occupied = None
         for aux in auxes:
-            st._apply_bigcount_triggers(
-                np.asarray(aux["bigcount_hashes"]),
-                np.asarray(aux["bigcount_triggers"]))
+            st._track_bigcount_aux(aux)
         return n_reads, n_consumed
 
     def _reads(self, parser_or_filename):
@@ -503,26 +556,36 @@ class Hashtable:
         MAX_BIGCOUNT+1 entries."""
         from khmer_tpu._config import MAX_BIGCOUNT
 
-        fn = _make_abund_dist_fn(self.storage.spec,
-                                 tracking.storage.spec,
-                                 self._ksize, self.hash_kind)
-        dist = np.zeros(MAX_BIGCOUNT + 1, np.uint64)
+        st = self.storage
         ts = tracking.storage
+        # host-side overlay is only needed when a bigcount map was
+        # loaded from disk (live counts are exact in the uint32 table)
+        want_lanes = bool(st.get_use_bigcount() and st.bigcounts)
+        fn = _make_abund_dist_fn(st._read_spec(), ts._read_spec(),
+                                 self._ksize, self.hash_kind, want_lanes)
+        dist = jnp.zeros(MAX_BIGCOUNT + 1, jnp.uint64)
+        fix = np.zeros(MAX_BIGCOUNT + 1, np.int64)
         batcher = _FlatBatcher(self._ksize)
-        t_table, t_occ, t_uniq = ts.table, ts._n_occupied, ts._n_unique
+        t_table, t_uniq = ts.table, ts._n_unique
 
         def run(data, weights):
-            nonlocal t_table, t_occ, t_uniq
-            t_table, t_occ, t_uniq, counts, w_first, hashes = fn(
-                self.storage.table, t_table, t_occ, t_uniq,
-                jnp.asarray(data), jnp.asarray(weights))
-            counts = np.asarray(counts)
-            w = np.asarray(w_first).astype(bool)
-            counts = counts[w]
-            if self.storage.get_use_bigcount() and self.storage.bigcounts:
-                counts = self.storage._overlay_bigcounts(
-                    counts, np.asarray(hashes)[w])
-            np.add.at(dist, counts, 1)
+            nonlocal t_table, t_uniq, dist
+            out = fn(st.table, t_table, t_uniq, jnp.asarray(data),
+                     jnp.asarray(weights))
+            if want_lanes:
+                t_table, t_uniq, d, counts, first, ks = out
+                counts = np.asarray(counts)
+                first = np.asarray(first)
+                over = self.storage._overlay_bigcounts(
+                    counts, np.asarray(ks))
+                for c0, c1 in zip(counts[first], over[first]):
+                    if c0 != c1:
+                        fix[c0] -= 1
+                        fix[c1] += 1
+                dist = dist + d
+            else:
+                t_table, t_uniq, d = out
+                dist = dist + d
 
         for read in self._reads(parser_or_filename):
             seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
@@ -533,8 +596,10 @@ class Hashtable:
         tail = batcher.drain()
         if tail is not None:
             run(*tail)
-        ts.table, ts._n_occupied, ts._n_unique = t_table, t_occ, t_uniq
-        return [int(x) for x in dist]
+        ts.table, ts._n_unique = t_table, t_uniq
+        ts._loaded_occupied = None
+        out = np.asarray(dist).astype(np.int64) + fix
+        return [int(x) for x in out]
 
     abundance_distribution_with_reads_parser = abundance_distribution
 

@@ -64,7 +64,8 @@ def _make_update_fn(k, p, m):
 
     def fn(counters, data, weights):
         hashes, _ = kmer_hashes_murmur_bytes(
-            data[None, :], jnp.array([data.shape[0]], jnp.int32), k)
+            data[None, :], jnp.array([data.shape[0]], jnp.int32), k,
+            assume_acgt=True)
         h = hashes[0]
         w = weights[: h.shape[0]]
         idx = (h & U64(m - 1)).astype(jnp.int32)

@@ -132,7 +132,7 @@ def save_storage(filename, ksize, storage):
             f.write(raw[off: off + nbytes].tobytes())
             off += nbytes
         if kind == "byte":
-            bc = storage.bigcounts
+            bc = storage.resolved_bigcounts()
             f.write(struct.pack("<Q", len(bc)))
             # canonical deterministic order: sorted by hash (matches the
             # khmer-2.x std::map serialization order)

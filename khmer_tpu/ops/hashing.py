@@ -12,15 +12,16 @@ function):
 * hash-space banding for sketch sharding: src/oxli/kmer_hash.cc:290-304.
 
 Instead of the reference's per-base rolling loop, the batched device
-implementation computes prefix polynomials with an associative scan, so
-every k-mer window of every read hashes in O(log L) parallel steps:
-
-    P[j]  = P[j-1] * 4 + code[j]          (mod 2**64)
-    f(i)  = P[i+k-1] - P[i-1] * 4**k      (mod 2**64)
-
-and symmetrically for the reverse-complement suffix polynomial.  For
-k = 32 the ``4**k`` term vanishes mod 2**64, which the formula handles
-for free.
+implementation exploits that the 2-bit hash of a window is literally its
+bit-packing: codes are packed 32-per-uint64 word with a log-tree of
+shift/or steps, and windows are extracted phase-major — for each phase
+r in [0, 32) all windows starting at i ≡ r (mod 32) come from two
+*contiguous word slices* combined with *constant* shifts, which the TPU
+VPU vectorizes perfectly (no per-lane variable shifts, no gathers).
+The reverse-complement hash is computed directly from the forward
+window value with a bit-pair reversal ladder + complement XOR (the
+complement of a 2-bit code is code^1, kmer_hash.hh:70-77), so no second
+code stream is needed at all.
 """
 
 import numpy as np
@@ -193,26 +194,51 @@ def hash_no_rc_murmur3_scalar(kmer: str):
 # ---------------------------------------------------------------------------
 
 
-def _affine_scan(codes_u64, reverse=False):
-    """Associative scan of x -> 4*x + c over the last axis (mod 2**64).
+def _pack_codes_u64(codes_u64):
+    """Pack 2-bit codes [..., L] (L % 32 == 0) into uint64 words
+    [..., L/32], first code in the word's top bits, via a 5-step
+    shift/or tree."""
+    x = codes_u64
+    width = 2  # bits per element so far
+    for _ in range(5):
+        x = (x[..., 0::2] << U64(width)) | x[..., 1::2]
+        width *= 2
+    return x
 
-    Returns the inclusive scan P with P[..., j] = poly value of prefix
-    ending at j (or suffix starting at j when reverse=True, with the
-    recurrence S[j] = 4*S[j+1] + c[j]).
-    """
 
-    def combine(left, right):
-        # affine maps f(x) = a*x + b composed: right∘left when scanning
-        a1, b1 = left
-        a2, b2 = right
-        return (a1 * a2, b1 * a2 + b2)
+# masks for the 2-bit-group reversal ladder
+_M2 = U64(0x3333333333333333)
+_M4 = U64(0x0F0F0F0F0F0F0F0F)
+_M8 = U64(0x00FF00FF00FF00FF)
+_M16 = U64(0x0000FFFF0000FFFF)
+_COMP_PAIRS = U64(0x5555555555555555)
 
-    a = jnp.full(codes_u64.shape, 4, dtype=U64)
-    elems = (a, codes_u64)
-    axis = codes_u64.ndim - 1
-    _, p = jax.lax.associative_scan(combine, elems, axis=axis,
-                                    reverse=reverse)
-    return p
+
+def _revcomp_value(v, k):
+    """Reverse-complement of a 2k-bit window value held in the low bits
+    of v: complement every 2-bit group (code ^ 1) and reverse group
+    order (a 5-step bit-pair reversal ladder)."""
+    mask = U64(((1 << (2 * k)) - 1) & 0x5555555555555555)
+    x = v ^ mask
+    x = ((x & _M2) << U64(2)) | ((x >> U64(2)) & _M2)
+    x = ((x & _M4) << U64(4)) | ((x >> U64(4)) & _M4)
+    x = ((x & _M8) << U64(8)) | ((x >> U64(8)) & _M8)
+    x = ((x & _M16) << U64(16)) | ((x >> U64(16)) & _M16)
+    x = (x << U64(32)) | (x >> U64(32))
+    return x >> U64(64 - 2 * k)
+
+
+def _phase_major_windows(words, k):
+    """Forward window values, phase-major: out[r, ..., j] is the 2k-bit
+    value of the window starting at code position 32*j + r.  words must
+    carry a trailing all-zero word (callers pad)."""
+    w0 = words[..., :-1]
+    w1 = words[..., 1:]
+    outs = [w0 >> U64(64 - 2 * k)]
+    for r in range(1, 32):
+        full = (w0 << U64(2 * r)) | (w1 >> U64(64 - 2 * r))
+        outs.append(full >> U64(64 - 2 * k))
+    return jnp.stack(outs, axis=0)
 
 
 def kmer_hashes_2bit(codes, lengths, k: int, want_fr: bool = False):
@@ -233,34 +259,41 @@ def kmer_hashes_2bit(codes, lengths, k: int, want_fr: bool = False):
     W = L - k + 1
     if W <= 0:
         raise ValueError("padded width shorter than k")
-    c = codes.astype(U64)
-    comp = c ^ U64(1)
-
-    # forward prefix polynomial P[j] = value of codes[0..j] base 4
-    P = _affine_scan(c)
-    # window value f(i) = P[i+k-1] - P[i-1] * 4^k
-    four_k = U64((4**k) % (1 << 64))
-    P_end = P[:, k - 1:]  # [B, W] = P[i+k-1]
-    P_before = jnp.concatenate(
-        [jnp.zeros((B, 1), U64), P[:, : W - 1]], axis=1
-    )  # P[i-1], 0 for i=0
-    fwd = P_end - P_before * four_k
-
-    # reverse-complement suffix polynomial S[j] = 4*S[j+1] + comp[j]
-    S = _affine_scan(comp, reverse=True)
-    # r(i) = S[i] - S[i+k] * 4^k
-    S_start = S[:, :W]
-    S_after = jnp.concatenate(
-        [S[:, k:], jnp.zeros((B, k - S.shape[1] + W), U64)], axis=1
-    )[:, :W]
-    rev = S_start - S_after * four_k
-
-    canon = jnp.minimum(fwd, rev)
-    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
-    valid = pos + k <= lengths[:, None]
+    cf, ff, rf, vf = kmer_hashes_2bit_pm(codes, lengths, k)
+    # restore window order: pm[r, b, j] is window 32*j + r
+    def reorder(pm):
+        return jnp.transpose(pm, (1, 2, 0)).reshape(B, -1)[:, :W]
+    canon = reorder(cf)
+    valid = reorder(vf)
     if want_fr:
-        return canon, fwd, rev, valid
+        return canon, reorder(ff), reorder(rf), valid
     return canon, valid
+
+
+def kmer_hashes_2bit_pm(codes, lengths, k: int):
+    """Phase-major canonical 2-bit hashes: returns (canon, fwd, rev,
+    valid), each shaped [32, B, nw] where lane (r, b, j) is the window
+    of row b starting at code position 32*j + r.  This is the layout
+    the kernels produce natively (no transpose); bulk consumers that
+    are order-agnostic (count scatter, sorting, HLL) should use it
+    directly."""
+    if k > 32:
+        raise ValueError("k must be <= 32 for the 2-bit hash")
+    B, L = codes.shape
+    W = L - k + 1
+    # pad to a whole number of words plus one trailing zero word
+    pad = (-L) % 32 + 32
+    c = codes.astype(U64)
+    c = jnp.concatenate([c, jnp.zeros((B, pad), U64)], axis=1)
+    words = _pack_codes_u64(c)
+    fwd = _phase_major_windows(words, k)
+    rev = _revcomp_value(fwd, k)
+    canon = jnp.minimum(fwd, rev)
+    nw = fwd.shape[-1]
+    pos = (jnp.arange(nw, dtype=jnp.int32)[None, :] * 32 +
+           jnp.arange(32, dtype=jnp.int32)[:, None]).reshape(32, 1, nw)
+    valid = pos + k <= lengths[None, :, None]
+    return canon, fwd, rev, valid
 
 
 # --- batched murmur ---------------------------------------------------------
@@ -282,24 +315,25 @@ def _fmix64_v(x):
     return x
 
 
-def _murmur_fwd_bytes(byts, k: int):
-    """MurmurHash3_x64_128(...)[0] of [N, k] ascii byte rows (static k)."""
-    b = byts.astype(U64)
-    h1 = jnp.zeros(b.shape[:-1], U64)
-    h2 = jnp.zeros(b.shape[:-1], U64)
+def _murmur_windows(b64, W, k):
+    """MurmurHash3_x64_128 (h1, h2) of every k-byte window of a uint64
+    byte stream [B, L]; window blocks are assembled from k static
+    shifted slices (no [B, W, k] materialization)."""
+    h1 = jnp.zeros((b64.shape[0], W), U64)
+    h2 = jnp.zeros_like(h1)
     c1 = U64(_C1)
     c2 = U64(_C2)
-    nblocks = k // 16
 
-    def getblock(off):
-        acc = jnp.zeros(b.shape[:-1], U64)
-        for i in range(8):
-            acc = acc | (b[..., off + i] << U64(8 * i))
+    def word(off, nbytes=8):
+        acc = b64[:, off:off + W]
+        for i in range(1, nbytes):
+            acc = acc | (b64[:, off + i:off + i + W] << U64(8 * i))
         return acc
 
+    nblocks = k // 16
     for i in range(nblocks):
-        k1 = getblock(i * 16)
-        k2 = getblock(i * 16 + 8)
+        k1 = word(i * 16)
+        k2 = word(i * 16 + 8)
         k1 = _rotl64_v(k1 * c1, 31) * c2
         h1 = h1 ^ k1
         h1 = _rotl64_v(h1, 27) + h2
@@ -312,15 +346,11 @@ def _murmur_fwd_bytes(byts, k: int):
     taillen = k & 15
     if taillen:
         toff = nblocks * 16
-        k1 = jnp.zeros(b.shape[:-1], U64)
-        k2 = jnp.zeros(b.shape[:-1], U64)
-        for i in range(taillen - 1, 7, -1):
-            k2 = k2 | (b[..., toff + i] << U64(8 * (i - 8)))
-        for i in range(min(taillen, 8) - 1, -1, -1):
-            k1 = k1 | (b[..., toff + i] << U64(8 * i))
         if taillen > 8:
+            k2 = word(toff + 8, taillen - 8)
             k2 = _rotl64_v(k2 * c2, 33) * c1
             h2 = h2 ^ k2
+        k1 = word(toff, min(taillen, 8))
         k1 = _rotl64_v(k1 * c1, 31) * c2
         h1 = h1 ^ k1
 
@@ -331,31 +361,50 @@ def _murmur_fwd_bytes(byts, k: int):
     h1 = _fmix64_v(h1)
     h2 = _fmix64_v(h2)
     h1 = h1 + h2
-    return h1
+    h2 = h2 + h1
+    return h1, h2
 
 
 _COMP_LUT_DEV = jnp.asarray(_COMP_LUT)
 
 
-def kmer_hashes_murmur_bytes(byts, lengths, k: int):
+def kmer_hashes_murmur_bytes(byts, lengths, k: int, assume_acgt=False):
     """All murmur k-mer hashes of a padded batch of raw ASCII reads.
 
     byts: uint8 [B, L] ASCII characters.  Semantics follow reference
     kmer_hash.cc:199-227: ``h(fwd) ^ h(tbl-revcomp(fwd))`` unless the
     k-mer equals its own reverse complement.  Returns (uint64 [B, W],
     valid bool [B, W]).
+
+    assume_acgt=True (bulk consume of cleaned reads) replaces the
+    256-entry complement-table gather with a 4-way select chain.
     """
     B, L = byts.shape
     W = L - k + 1
     if W <= 0:
         raise ValueError("padded width shorter than k")
-    idx = jnp.arange(W)[:, None] + jnp.arange(k)[None, :]
-    win = byts[:, idx]  # [B, W, k]
-    rev = _COMP_LUT_DEV[win][..., ::-1]
-    h = _murmur_fwd_bytes(win, k)
-    r = _murmur_fwd_bytes(rev, k)
-    palindrome = jnp.all(win == rev, axis=-1)
-    canon = jnp.where(palindrome, h, h ^ r)
+    b64 = byts.astype(U64)
+    h1, h2 = _murmur_windows(b64, W, k)
+    # rc stream: complement every char (khmer `tbl`), reverse; the rc of
+    # the window at i is the crev window at L-k-i, so flip the result.
+    if assume_acgt:
+        comp = jnp.where(
+            byts == ord("A"), np.uint8(ord("T")),
+            jnp.where(byts == ord("T"), np.uint8(ord("A")),
+                      jnp.where(byts == ord("C"), np.uint8(ord("G")),
+                                jnp.where(byts == ord("G"),
+                                          np.uint8(ord("C")),
+                                          np.uint8(ord(" "))))))
+        crev = comp.astype(U64)[:, ::-1]
+    else:
+        crev = _COMP_LUT_DEV[byts].astype(U64)[:, ::-1]
+    r1f, r2f = _murmur_windows(crev, W, k)
+    r1 = r1f[:, ::-1]
+    r2 = r2f[:, ::-1]
+    # palindrome (window == its own rc) detection via full 128-bit hash
+    # equality: collision probability 2^-128, i.e. exact in practice.
+    palindrome = (h1 == r1) & (h2 == r2)
+    canon = jnp.where(palindrome, h1, h1 ^ r1)
     pos = jnp.arange(W, dtype=jnp.int32)[None, :]
     valid = pos + k <= lengths[:, None]
     return canon, valid

@@ -1,31 +1,39 @@
 """Device-side sketch update/query primitives.
 
-The reference updates its sketches one k-mer at a time with atomic RMW ops
-(ByteStorage::add, reference include/oxli/storage.hh:575-628; BitStorage::
-test_and_set_bits, storage.hh:176-203; NibbleStorage::add, storage.hh:
-324-363).  On TPU the whole batch updates in one pass:
+The reference updates its sketches one k-mer at a time with saturating
+atomic RMW ops (ByteStorage::add, reference include/oxli/storage.hh:
+575-628; BitStorage::test_and_set_bits, storage.hh:176-203;
+NibbleStorage::add, storage.hh:324-363).  The TPU-native design keeps
+ONE flat uint32 working counter per bin for every storage kind and
+applies the per-kind saturation only when *reading*:
 
-  1. compute each k-mer's bin in every table (`hash % prime`),
-  2. sort the flattened (table, bin) indices and segment-reduce duplicate
-     bins into per-bin multiplicities,
-  3. gather old cell values, apply the saturating/bit-OR/nibble update,
-     scatter back — every target cell is written exactly once, so the
-     batched result equals the reference's sequential result for the cell
-     contents (saturating adds commute).
+    reference cell value  ==  min(cap, total increments)
+                          ==  min(cap, uint32 bin total)
 
-Statistics semantics:
-  * `n_occupied` counts bins of table 0 that go 0 -> nonzero — exact.
-  * `n_unique_kmers` counts distinct new k-mers.  A k-mer is "new" when
-    its pre-batch min-count is zero.  This matches the reference for all
-    k-mers except the (astronomically rare, and already thread-racy in
-    the reference) case where one batch k-mer's bins are entirely covered
-    by another batch k-mer's bins.
-  * bigcount escapes (counts past 255) are detected on device and applied
-    to the host-side sparse map by the caller.
+because saturating increments commute — once the running value reaches
+cap it stays there, and the uncapped total is then >= cap too.  This
+turns the update into a single wrap-free `scatter-add` (no sort, no
+read-modify-write) — the fastest XLA primitive available for random
+updates — while staying bit-exact with the reference's saturating
+semantics for every read, save, and merge.
 
-All tables of a sketch live in ONE flat uint8 device array (byte layouts
-identical to the OXLI on-disk layout, so save/load is a slice copy), plus
-one trailing "dummy" byte that absorbs padded scatter lanes.
+Statistics:
+  * `n_occupied` (bins of table 0 ever touched) == nonzero bins of
+    table 0 now — computed lazily by a dense reduction, exact.
+  * `n_unique_kmers` needs the pre-batch state: the update gathers the
+    per-table pre-values, takes the min, and counts distinct batch
+    hashes whose pre-min was zero (distinctness via one 64-bit sort).
+  * bigcount (counts past 255, storage.hh:610-621) is free on reads —
+    the uint32 total is simply capped at 65535 instead of 255.  For the
+    OXLI *file format*'s sparse bigcount section the update also
+    returns the lanes whose table-0 value crossed 255 (a sound
+    superset of saturated hashes) for host-side tracking.
+
+Memory note: the working table spends 4 bytes/bin where the reference
+spends 1 (byte), 0.5 (nibble) or 1/8 (bit).  On-disk OXLI layouts are
+produced losslessly at save time; capacity scaling across chips comes
+from hash-band sharding (khmer_tpu.parallel) rather than sub-byte
+packing, which HBM cannot update efficiently.
 """
 
 from dataclasses import dataclass
@@ -38,9 +46,18 @@ import jax.numpy as jnp
 from jax import lax
 
 U8 = jnp.uint8
+U16 = jnp.uint16
 U32 = jnp.uint32
 U64 = jnp.uint64
 I64 = jnp.int64
+
+# read caps per storage kind (reference MAX_KCOUNT oxli.hh:81, nibble
+# storage.hh:258, bloom membership)
+_CAPS = {"byte": 255, "bit": 1, "nibble": 15}
+BIGCOUNT_CAP = 65535
+# per-batch device->host candidate budget for bigcount tracking; far
+# above anything real data produces per ~1M-base chunk
+BIGCOUNT_LANES = 1 << 16
 
 
 @dataclass(frozen=True)
@@ -48,7 +65,7 @@ class SketchSpec:
     """Static geometry of a sketch (hashable; closed over by jitted fns)."""
 
     kind: str  # 'byte' | 'bit' | 'nibble'
-    tablesizes: tuple  # bins per table (NOT bytes)
+    tablesizes: tuple  # bins per table
     use_bigcount: bool = False
 
     @property
@@ -56,7 +73,21 @@ class SketchSpec:
         return len(self.tablesizes)
 
     @property
+    def bin_offsets(self):
+        offs = []
+        o = 0
+        for s in self.tablesizes:
+            offs.append(o)
+            o += int(s)
+        return tuple(offs)
+
+    @property
+    def total_bins(self):
+        return sum(int(s) for s in self.tablesizes)
+
+    @property
     def bytes_per_table(self):
+        """OXLI on-disk bytes per table (reference storage.cc layouts)."""
         if self.kind == "byte":
             return tuple(int(s) for s in self.tablesizes)
         if self.kind == "bit":
@@ -66,268 +97,167 @@ class SketchSpec:
         raise ValueError(self.kind)
 
     @property
-    def offsets(self):
-        offs = []
-        o = 0
-        for b in self.bytes_per_table:
-            offs.append(o)
-            o += b
-        return tuple(offs)
-
-    @property
     def total_bytes(self):
         return sum(self.bytes_per_table)
 
     @property
     def max_count(self):
-        return {"byte": 255, "bit": 1, "nibble": 15}[self.kind]
+        return _CAPS[self.kind]
+
+    @property
+    def read_cap(self):
+        if self.kind == "byte" and self.use_bigcount:
+            return BIGCOUNT_CAP
+        return _CAPS[self.kind]
 
 
 def alloc_table(spec: SketchSpec):
-    """Fresh flat table (+1 dummy byte)."""
-    return jnp.zeros(spec.total_bytes + 1, dtype=U8)
+    """Fresh flat uint32 working table (+1 dummy bin for padded lanes)."""
+    return jnp.zeros(spec.total_bins + 1, dtype=U32)
 
 
-def _bins(spec, h):
-    """[T, N] bins of hashes in every table."""
+def _bin_idx(spec, h):
+    """[T, N] global bin indices of hashes in every table."""
     sizes = jnp.asarray(np.array(spec.tablesizes, dtype=np.uint64))[:, None]
-    return h[None, :] % sizes
-
-
-def _segments(keys, weights):
-    """Sort keys; return (sorted keys, segment ids, first-lane mask,
-    per-segment weight sums gathered back to lanes, lane order)."""
-    order = jnp.argsort(keys)
-    ks = keys[order]
-    ws = weights[order]
-    n = keys.shape[0]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    seg = jnp.cumsum(first) - 1
-    segw = jnp.zeros(n, dtype=ws.dtype).at[seg].add(ws)
-    return ks, ws, first, seg, segw, order
-
-
-# ---------------------------------------------------------------------------
-# ByteStorage (Count-Min sketch, 8-bit counters)
-# ---------------------------------------------------------------------------
+    offs = jnp.asarray(np.array(spec.bin_offsets, dtype=np.int64))[:, None]
+    return (h[None, :] % sizes).astype(I64) + offs
 
 
 @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
-def byte_update(spec: SketchSpec, table, n_occupied, n_unique, hashes, weights):
-    """Batched ByteStorage::add (reference storage.hh:575-628).
+def sketch_update(spec: SketchSpec, table, n_occupied, n_unique, hashes,
+                  weights):
+    """Batched sketch add for every storage kind.
 
-    hashes: uint64 [N]; weights: uint32 [N] (0 = padded lane).
-    Returns (table, n_occupied, n_unique, aux) where aux carries per-lane
-    pre-batch min counts and (if use_bigcount) per-distinct-hash bigcount
-    trigger counts.
+    hashes: uint64 [N]; weights: uint32 [N] (0 = padded/masked lane).
+    Returns (table, n_occupied, n_unique, aux); n_occupied passes
+    through (it is computed lazily from the table).  aux carries the
+    per-lane pre-batch min counts ("was new" signal) and, when
+    use_bigcount, the per-lane bigcount-crossing flags.
     """
     h = hashes.reshape(-1)
     w = weights.reshape(-1).astype(U32)
-    n = h.shape[0]
-    T = spec.n_tables
-    offs = jnp.asarray(np.array(spec.offsets, dtype=np.int64))[:, None]
-    bins = _bins(spec, h)
-    idx = bins.astype(I64) + offs  # [T, N]
+    idx = _bin_idx(spec, h)  # [T, N]
+    dummy = jnp.int64(spec.total_bins)
+    idx = jnp.where(w[None, :] > 0, idx, dummy)
 
-    pre = table[idx].astype(U32)  # [T, N]
-    premin = jnp.min(pre, axis=0)  # [N]
-
-    # --- per-bin saturating add ---
-    fidx = idx.reshape(-1)
-    fw = jnp.tile(w, T)
-    dummy = jnp.int64(spec.total_bytes)
-    s_idx, s_w, first, seg, _, _ = _segments(fidx, fw)
-    m = jnp.zeros(T * n, dtype=U32).at[seg].add(s_w)  # per segment, at seg id
-    uidx = jnp.full(T * n, dummy, dtype=I64).at[seg].set(s_idx)
-    old = table[uidx].astype(U32)
-    newv = jnp.where(m > 0, jnp.minimum(old + m, spec.max_count), old)
-    table = table.at[uidx].set(newv.astype(U8))
-
-    # occupied bins: table-0 bins going 0 -> nonzero
-    t0_end = jnp.int64(spec.bytes_per_table[0])
-    occ = jnp.sum(((uidx < t0_end) & (old == 0) & (m > 0)).astype(U64))
-    n_occupied = n_occupied + occ
-
-    # --- distinct-hash statistics ---
-    hs, _, hfirst, hseg, _, horder = _segments(h, w)
-    hw = jnp.zeros(n, dtype=U32).at[hseg].add(w[horder])
-    pm_first = jnp.zeros(n, dtype=U32).at[hseg].set(premin[horder])
-    seg_exists = hw > 0
-    uniq = jnp.sum((seg_exists & (pm_first == 0)).astype(U64))
-    n_unique = n_unique + uniq
-
-    aux = {"premin": premin}
-    if spec.use_bigcount:
-        uh = jnp.zeros(n, dtype=U64).at[hseg].set(hs)
-        room = jnp.uint32(spec.max_count) - jnp.minimum(
-            pm_first, spec.max_count)
-        trig = jnp.where(seg_exists, jnp.maximum(hw, room) - room,
-                         jnp.uint32(0))
-        aux["bigcount_hashes"] = uh
-        aux["bigcount_triggers"] = trig
-    return table, n_occupied, n_unique, aux
-
-
-@partial(jax.jit, static_argnums=0)
-def byte_get(spec: SketchSpec, table, hashes):
-    """Batched ByteStorage::get_count (min over tables; storage.hh:631-653).
-
-    bigcount overlay (counts > 255) is applied by the caller."""
-    h = hashes.reshape(-1)
-    offs = jnp.asarray(np.array(spec.offsets, dtype=np.int64))[:, None]
-    idx = _bins(spec, h).astype(I64) + offs
-    return jnp.min(table[idx], axis=0).astype(jnp.uint16).reshape(hashes.shape)
-
-
-# ---------------------------------------------------------------------------
-# BitStorage (Bloom filter)
-# ---------------------------------------------------------------------------
-
-
-@partial(jax.jit, static_argnums=0, donate_argnums=(1,))
-def bit_update(spec: SketchSpec, table, n_occupied, n_unique, hashes, weights):
-    """Batched BitStorage::test_and_set_bits (reference storage.hh:176-203)."""
-    h = hashes.reshape(-1)
-    w = weights.reshape(-1).astype(U32)
-    n = h.shape[0]
-    T = spec.n_tables
-    offs = jnp.asarray(np.array(spec.offsets, dtype=np.int64))[:, None]
-    bins = _bins(spec, h)
-    bytei = (bins >> U64(3)).astype(I64) + offs  # [T, N]
-    bit = (bins & U64(7)).astype(U32)
-
-    pre = (table[bytei].astype(U32) >> bit) & 1  # [T, N]
+    pre = table[idx]  # [T, N] gather
     premin = jnp.min(pre, axis=0)
 
-    # global bit key; dedup bits, then group bits into bytes
-    key = bytei * 8 + bit.astype(I64)
-    fkey = key.reshape(-1)
-    fw = jnp.tile(w, T)
-    s_key, s_w, first, seg, _, _ = _segments(fkey, fw)
-    kw = jnp.zeros(T * n, dtype=U32).at[seg].add(s_w)
-    kb = s_key >> 3  # sorted byte index per lane
-    bfirst = jnp.concatenate([jnp.ones((1,), bool), kb[1:] != kb[:-1]])
-    bseg = jnp.cumsum(bfirst) - 1
-    contrib = jnp.where(
-        first & (kw[seg] > 0),
-        (jnp.uint32(1) << (s_key & 7).astype(U32)),
-        jnp.uint32(0),
-    )
-    ormask = jnp.zeros(T * n, dtype=U32).at[bseg].add(contrib)
-    dummy = jnp.int64(spec.total_bytes)
-    ubyte = jnp.full(T * n, dummy, dtype=I64).at[bseg].set(kb)
-    old = table[ubyte].astype(U32)
-    newb = old | ormask
-    table = table.at[ubyte].set(newb.astype(U8))
+    table = table.at[idx.reshape(-1)].add(
+        jnp.tile(w, spec.n_tables))
 
-    # occupied = newly set bits within table 0's byte range
-    t0_end = jnp.int64(spec.bytes_per_table[0])
-    newly = jnp.where(ubyte < t0_end, newb & ~old, 0)
-    occ = jnp.sum(lax.population_count(newly).astype(U64))
-    n_occupied = n_occupied + occ
-
-    hs, _, hfirst, hseg, _, horder = _segments(h, w)
-    hw = jnp.zeros(n, dtype=U32).at[hseg].add(w[horder])
-    pm_first = jnp.zeros(n, dtype=U32).at[hseg].set(premin[horder])
-    uniq = jnp.sum(((hw > 0) & (pm_first == 0)).astype(U64))
-    n_unique = n_unique + uniq
+    track_bigcount = spec.use_bigcount and spec.kind == "byte"
+    # n_unique: distinct batch hashes whose pre-batch min was zero.
+    key = jnp.where(w > 0, h, ~jnp.uint64(0))
+    if track_bigcount:
+        # lanes whose table-0 bin crossed 255: a sound superset of
+        # hashes that may now exceed 255
+        cross = (table[idx[0]] > 255) & (w > 0)
+        ks, ps, ws, cs = lax.sort((key, premin, w, cross.astype(U32)),
+                                  num_keys=1)
+    else:
+        ks, ps, ws = lax.sort((key, premin, w), num_keys=1)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & (ws > 0)
+    n_unique = n_unique + jnp.sum(
+        (first & (ps == 0)).astype(U64))
 
     aux = {"premin": premin}
+    if track_bigcount:
+        # one candidate lane per distinct crossing hash, compacted so
+        # only a small list crosses to the host
+        n = h.shape[0]
+        fc = first & (cs > 0)
+        cidx = jnp.nonzero(fc, size=min(BIGCOUNT_LANES, n),
+                           fill_value=n)[0]
+        kpad = jnp.concatenate([ks, jnp.zeros((1,), U64)])
+        aux["bigcount_hashes"] = kpad[cidx]
+        aux["bigcount_valid"] = cidx < n
+        aux["bigcount_overflow"] = jnp.sum(fc.astype(U32)) > cidx.shape[0]
     return table, n_occupied, n_unique, aux
 
 
 @partial(jax.jit, static_argnums=0)
-def bit_get(spec: SketchSpec, table, hashes):
-    """Batched BitStorage::get_count (membership AND; storage.hh:211-223)."""
+def sketch_get(spec: SketchSpec, table, hashes):
+    """Batched count read: min over tables of the bin totals, capped at
+    the kind's saturation value (255/65535 for byte, 15 nibble, 1 bit).
+    Mirrors ByteStorage::get_count storage.hh:631-653 etc."""
     h = hashes.reshape(-1)
-    offs = jnp.asarray(np.array(spec.offsets, dtype=np.int64))[:, None]
-    bins = _bins(spec, h)
-    bytei = (bins >> U64(3)).astype(I64) + offs
-    bit = (bins & U64(7)).astype(U32)
-    b = (table[bytei].astype(U32) >> bit) & 1
-    return jnp.min(b, axis=0).astype(jnp.uint16).reshape(hashes.shape)
-
-
-# ---------------------------------------------------------------------------
-# NibbleStorage (Count-Min sketch, 4-bit counters)
-# ---------------------------------------------------------------------------
-
-
-@partial(jax.jit, static_argnums=0, donate_argnums=(1,))
-def nibble_update(spec: SketchSpec, table, n_occupied, n_unique, hashes,
-                  weights):
-    """Batched NibbleStorage::add (reference storage.hh:324-363).
-
-    Even bins use the high nibble, odd bins the low nibble
-    (storage.hh:268-276)."""
-    h = hashes.reshape(-1)
-    w = weights.reshape(-1).astype(U32)
-    n = h.shape[0]
-    T = spec.n_tables
-    offs = jnp.asarray(np.array(spec.offsets, dtype=np.int64))[:, None]
-    bins = _bins(spec, h)
-    bytei = (bins >> U64(1)).astype(I64) + offs
-    oddb = (bins & U64(1)).astype(U32)  # 1 -> low nibble
-    shift = jnp.where(oddb == 1, 0, 4).astype(U32)
-
-    pre = (table[bytei].astype(U32) >> shift) & 0xF
-    premin = jnp.min(pre, axis=0)
-
-    key = bytei * 2 + oddb.astype(I64)  # global nibble index
-    fkey = key.reshape(-1)
-    fw = jnp.tile(w, T)
-    fpre = pre.reshape(-1)
-    s_key, s_w, first, seg, _, order = _segments(fkey, fw)
-    m = jnp.zeros(T * n, dtype=U32).at[seg].add(s_w)  # per nibble segment
-    prenib = jnp.zeros(T * n, dtype=U32).at[seg].set(fpre[order])
-    newnib = jnp.minimum(prenib + m, spec.max_count)
-
-    kb = s_key >> 1
-    bfirst = jnp.concatenate([jnp.ones((1,), bool), kb[1:] != kb[:-1]])
-    bseg = jnp.cumsum(bfirst) - 1
-    # per distinct touched nibble (m>0): contribute value + clear-mask
-    lane_seg_m = m[seg]
-    active = first & (lane_seg_m > 0)
-    lane_shift = jnp.where((s_key & 1) == 1, 0, 4).astype(U32)
-    contrib = jnp.where(active, newnib[seg] << lane_shift, jnp.uint32(0))
-    clear = jnp.where(active, jnp.uint32(0xF) << lane_shift, jnp.uint32(0))
-    csum = jnp.zeros(T * n, dtype=U32).at[bseg].add(contrib)
-    msum = jnp.zeros(T * n, dtype=U32).at[bseg].add(clear)
-    dummy = jnp.int64(spec.total_bytes)
-    ubyte = jnp.full(T * n, dummy, dtype=I64).at[bseg].set(kb)
-    old = table[ubyte].astype(U32)
-    newb = (old & ~msum) | csum
-    table = table.at[ubyte].set(newb.astype(U8))
-
-    # occupied: distinct table-0 nibbles going 0 -> nonzero
-    t0_end = jnp.int64(spec.bytes_per_table[0]) * 2
-    occ = jnp.sum(
-        (first & (s_key < t0_end) & (prenib[seg] == 0) &
-         (lane_seg_m > 0)).astype(U64))
-    n_occupied = n_occupied + occ
-
-    hs, _, hfirst, hseg, _, horder = _segments(h, w)
-    hw = jnp.zeros(n, dtype=U32).at[hseg].add(w[horder])
-    pm_first = jnp.zeros(n, dtype=U32).at[hseg].set(premin[horder])
-    uniq = jnp.sum(((hw > 0) & (pm_first == 0)).astype(U64))
-    n_unique = n_unique + uniq
-
-    aux = {"premin": premin}
-    return table, n_occupied, n_unique, aux
+    idx = _bin_idx(spec, h)
+    tot = jnp.min(table[idx], axis=0)
+    return jnp.minimum(tot, spec.read_cap).astype(U16).reshape(hashes.shape)
 
 
 @partial(jax.jit, static_argnums=0)
-def nibble_get(spec: SketchSpec, table, hashes):
-    """Batched NibbleStorage::get_count (storage.hh:366-383)."""
-    h = hashes.reshape(-1)
-    offs = jnp.asarray(np.array(spec.offsets, dtype=np.int64))[:, None]
-    bins = _bins(spec, h)
-    bytei = (bins >> U64(1)).astype(I64) + offs
-    shift = jnp.where((bins & U64(1)) == 1, 0, 4).astype(U32)
-    v = (table[bytei].astype(U32) >> shift) & 0xF
-    return jnp.min(v, axis=0).astype(jnp.uint16).reshape(hashes.shape)
+def occupied_bins(spec: SketchSpec, table):
+    """n_occupied: nonzero bins of table 0 (lazy, exact)."""
+    t0 = table[: spec.tablesizes[0]]
+    return jnp.sum((t0 > 0).astype(U64))
 
 
-UPDATE_FNS = {"byte": byte_update, "bit": bit_update, "nibble": nibble_update}
-GET_FNS = {"byte": byte_get, "bit": bit_get, "nibble": nibble_get}
+# ---------------------------------------------------------------------------
+# OXLI byte-layout packing (save/load)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=0)
+def pack_oxli_bytes(spec: SketchSpec, table):
+    """Working uint32 table -> OXLI on-disk byte stream per table.
+
+    byte: one uint8/bin capped at 255; nibble: two 4-bit counters per
+    byte capped at 15 (+ trailing pad nibble); bit: 8 bins per byte
+    (+ trailing pad bits).  Layout parity: reference storage.cc."""
+    outs = []
+    for t in range(spec.n_tables):
+        size = int(spec.tablesizes[t])
+        off = spec.bin_offsets[t]
+        vals = table[off: off + size]
+        if spec.kind == "byte":
+            outs.append(jnp.minimum(vals, 255).astype(U8))
+        elif spec.kind == "nibble":
+            nb = size // 2 + 1
+            padded = jnp.zeros(nb * 2, U32).at[:size].set(
+                jnp.minimum(vals, 15))
+            pair = padded.reshape(nb, 2)
+            # even bin -> high nibble, odd -> low (storage.hh:268-276)
+            outs.append((pair[:, 1] | (pair[:, 0] << 4)).astype(U8))
+        else:  # bit
+            nb = size // 8 + 1
+            padded = jnp.zeros(nb * 8, U32).at[:size].set(
+                (vals > 0).astype(U32))
+            byte = padded.reshape(nb, 8)
+            acc = jnp.zeros(nb, U32)
+            for b in range(8):
+                acc = acc | (byte[:, b] << b)
+            outs.append(acc.astype(U8))
+    return jnp.concatenate(outs)
+
+
+def unpack_oxli_bytes(spec: SketchSpec, data):
+    """OXLI byte stream (host numpy) -> working uint32 table."""
+    table = np.zeros(spec.total_bins + 1, np.uint32)
+    boff = 0
+    for t in range(spec.n_tables):
+        size = int(spec.tablesizes[t])
+        off = spec.bin_offsets[t]
+        nb = spec.bytes_per_table[t]
+        raw = np.asarray(data[boff: boff + nb], np.uint8)
+        if spec.kind == "byte":
+            table[off: off + size] = raw
+        elif spec.kind == "nibble":
+            hi = (raw >> 4).astype(np.uint32)
+            lo = (raw & 0xF).astype(np.uint32)
+            inter = np.empty(nb * 2, np.uint32)
+            inter[0::2] = hi
+            inter[1::2] = lo
+            table[off: off + size] = inter[:size]
+        else:  # bit
+            bits = np.unpackbits(raw, bitorder="little")
+            table[off: off + size] = bits[:size]
+        boff += nb
+    return jnp.asarray(table)
+
+
+# backwards-compatible aliases (all kinds share the implementation)
+UPDATE_FNS = {k: sketch_update for k in _CAPS}
+GET_FNS = {k: sketch_get for k in _CAPS}

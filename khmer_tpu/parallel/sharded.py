@@ -71,13 +71,21 @@ def make_mesh(devices=None, data=None, shard=None):
 
 
 def band_owner(hashes, n_shards):
-    """Owner shard of each hash (reference band arithmetic,
-    kmer_hash.cc:290-304, with the top sliver folded into the last
-    shard)."""
+    """Owner shard of each hash.
+
+    The band arithmetic follows reference banding (kmer_hash.cc:290-304,
+    top sliver folded into the last shard), but over a *mixed* image of
+    the hash: the exact 2-bit hash is the raw k-mer value (< 4^k), so
+    banding its high bits directly would route every k-mer to shard 0.
+    fmix64 (murmur's finalizer) is a bijection, so the bands still
+    partition the hash space exactly."""
     if n_shards == 1:
         return jnp.zeros(hashes.shape, I32)
+    from khmer_tpu.ops.hashing import _fmix64_v
+
+    mixed = _fmix64_v(hashes.astype(U64))
     band = U64(((1 << 64) - 1) // n_shards)
-    return jnp.minimum((hashes // band).astype(I32), n_shards - 1)
+    return jnp.minimum((mixed // band).astype(I32), n_shards - 1)
 
 
 def _route_lanes(hashes, weights, n_shards, cap):
@@ -118,19 +126,21 @@ def make_sharded_consume_step(spec: SketchSpec, k: int, hash_kind: str,
         row is an independent flat chunk of concatenated reads.
       weights: uint32 [D, S, chunk]           window validity/multiplicity.
     """
-    from khmer_tpu.hashtable import _hash_windows
+    from khmer_tpu.hashtable import ROW_PAYLOAD, _chunk_hashes_weights
 
     D = mesh.shape["data"]
     S = mesh.shape["shard"]
-    W = chunk - k + 1
-    cap = int(np.ceil(W / S) * cap_factor) if S > 1 else W
+    payload = min(ROW_PAYLOAD, chunk)
+    if chunk % payload:
+        raise ValueError("chunk must be a multiple of the row payload")
+    cap = int(np.ceil(chunk / S) * cap_factor) if S > 1 else chunk
     update = UPDATE_FNS[spec.kind]
 
     def local_step(table, occ, uniq, data, weights):
-        # local blocks: table [1, 1, B+1], data [1, 1, chunk]
+        # local blocks: table [1, 1, bins+1], data [1, 1, chunk]
         tbl = table[0, 0]
-        hashes = _hash_windows(data[0, 0], k, hash_kind)
-        w = weights[0, 0, :W].astype(U32)
+        hashes, w = _chunk_hashes_weights(
+            data[0, 0], weights[0, 0].astype(U32), k, hash_kind, payload)
         if S > 1:
             send_h, send_w, n_drop = _route_lanes(hashes, w, S, cap)
             recv_h = lax.all_to_all(send_h, "shard", 0, 0)
@@ -170,27 +180,17 @@ def make_sharded_query(spec: SketchSpec, mesh: Mesh):
     """Build the jitted multi-device count query.
 
     query(tables, hashes[N]) -> uint16 counts[N] with exact serial CMS
-    semantics: per-table bin values are psum'd across every device
-    before the saturating cap and the min-over-tables reduction.
+    semantics: per-table uint32 bin totals are psum'd across every
+    device before the saturating cap and the min-over-tables reduction.
     """
-    offs = np.array(spec.offsets, dtype=np.int64)
+    offs = np.array(spec.bin_offsets, dtype=np.int64)
     sizes = np.array(spec.tablesizes, dtype=np.uint64)
-    cap = spec.max_count
+    cap = spec.read_cap
 
     def local_query(tables, hashes):
         tbl = tables[0, 0]
         bins = hashes[None, :] % jnp.asarray(sizes)[:, None]
-        if spec.kind == "byte":
-            idx = bins.astype(I64) + jnp.asarray(offs)[:, None]
-            vals = tbl[idx].astype(U32)
-        elif spec.kind == "bit":
-            bytei = (bins >> U64(3)).astype(I64) + jnp.asarray(offs)[:, None]
-            bit = (bins & U64(7)).astype(U32)
-            vals = (tbl[bytei].astype(U32) >> bit) & 1
-        else:  # nibble
-            bytei = (bins >> U64(1)).astype(I64) + jnp.asarray(offs)[:, None]
-            shift = jnp.where((bins & U64(1)) == 1, 0, 4).astype(U32)
-            vals = (tbl[bytei].astype(U32) >> shift) & 0xF
+        vals = tbl[bins.astype(I64) + jnp.asarray(offs)[:, None]]
         tot = lax.psum(lax.psum(vals, "shard"), "data")
         return jnp.min(jnp.minimum(tot, cap), axis=0).astype(jnp.uint16)
 
@@ -204,21 +204,11 @@ def make_sharded_query(spec: SketchSpec, mesh: Mesh):
 
 
 def merge_tables_saturating(tables, spec: SketchSpec):
-    """Saturating sum of the [D, S, B+1] partial tables -> serial-equal
-    flat uint8 table [B+1] (see module docstring for the equality
-    argument).  Bloom tables OR; nibble tables add per-nibble."""
-    t = tables.reshape(-1, tables.shape[-1])
-    if spec.kind == "bit":
-        merged = t[0]
-        for i in range(1, t.shape[0]):
-            merged = merged | t[i]
-        return merged
-    if spec.kind == "nibble":
-        lo = jnp.minimum(jnp.sum((t & 0xF).astype(U32), axis=0), 0xF)
-        hi = jnp.minimum(jnp.sum((t >> 4).astype(U32), axis=0), 0xF)
-        return (lo | (hi << 4)).astype(U8)
-    tot = jnp.minimum(jnp.sum(t.astype(U32), axis=0), spec.max_count)
-    return tot.astype(U8)
+    """Sum of the [D, S, bins+1] uint32 partial tables -> serial-equal
+    flat working table (saturation is applied at read time, so the
+    plain sum IS the serial table; see module docstring)."""
+    return jnp.sum(tables.astype(jnp.uint64),
+                   axis=tuple(range(tables.ndim - 1))).astype(U32)
 
 
 class ShardedCountConsumer:
@@ -240,9 +230,10 @@ class ShardedCountConsumer:
         self.step, self.shardings = make_sharded_consume_step(
             spec, k, hash_kind, self.mesh, chunk, cap_factor)
         self.query = make_sharded_query(spec, self.mesh)
-        nbytes = spec.total_bytes + 1
+        nbins = spec.total_bins + 1
         self.tables = jax.device_put(
-            jnp.zeros((self.D, self.S, nbytes), U8), self.shardings["tables"])
+            jnp.zeros((self.D, self.S, nbins), U32),
+            self.shardings["tables"])
         self.occ = jax.device_put(
             jnp.zeros((self.D, self.S), U64), self.shardings["scal"])
         self.uniq = jax.device_put(

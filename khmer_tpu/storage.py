@@ -1,16 +1,22 @@
 """Storage layer: device-resident sketches with khmer Storage semantics.
 
 Mirrors the reference Storage hierarchy (include/oxli/storage.hh):
-  * ByteStorage   — Count-Min sketch, 8-bit counters + bigcount escape map
+  * ByteStorage   — Count-Min sketch, 8-bit counters + bigcount escape
   * BitStorage    — Bloom filter
   * NibbleStorage — Count-Min sketch, 4-bit counters
 
-Unlike the reference (one malloc'd array per table, atomic per-k-mer RMW),
-each storage here is ONE flat uint8 JAX array in device HBM (per-table byte
-layout identical to the on-disk OXLI layout) updated by batched jitted
-kernels from khmer_tpu.ops.sketch_ops.  The bigcount escape (counts beyond
-255, reference storage.hh:610-621) stays a host-side sparse dict fed by
-device-detected saturation triggers.
+Unlike the reference (one malloc'd array per table, atomic per-k-mer
+saturating RMW), each storage here is ONE flat uint32 working array in
+device HBM updated by a single wrap-free scatter-add per batch; each
+kind's saturation cap is applied at read time, which is provably equal
+to the reference's saturating increments (see khmer_tpu/ops/sketch_ops).
+
+bigcount: counts past 255 need no side structure at runtime (the uint32
+total is simply capped at 65535 on reads).  The OXLI file format's
+sparse bigcount section is reconstructed at save time from a host-side
+candidate set of hashes whose table-0 bin crossed 255; a bigcount map
+loaded *from* a file overlays saturated reads exactly as the reference
+does (storage.hh:631-653).
 """
 
 import numpy as np
@@ -19,10 +25,13 @@ import jax.numpy as jnp
 
 from khmer_tpu._config import MAX_BIGCOUNT, MAX_KCOUNT
 from khmer_tpu.ops.sketch_ops import (
-    GET_FNS,
-    UPDATE_FNS,
     SketchSpec,
     alloc_table,
+    occupied_bins,
+    pack_oxli_bytes,
+    sketch_get,
+    sketch_update,
+    unpack_oxli_bytes,
 )
 
 U64 = jnp.uint64
@@ -46,8 +55,10 @@ class Storage:
             use_bigcount=self.supports_bigcount,
         )
         self.table = alloc_table(self.spec)
-        self._n_occupied = jnp.zeros((), U64)
         self._n_unique = jnp.zeros((), U64)
+        # hashes that may exceed 255 (superset; resolved at save time)
+        self.bigcount_candidates = set()
+        # bigcount map loaded from an OXLI file (overlays capped reads)
         self.bigcounts = {}
 
     # -- geometry ---------------------------------------------------------
@@ -60,7 +71,11 @@ class Storage:
         return self.spec.n_tables
 
     def n_occupied(self):
-        return int(self._n_occupied)
+        if self._loaded_occupied is not None:
+            return self._loaded_occupied
+        return int(occupied_bins(self.spec, self.table))
+
+    _loaded_occupied = None
 
     def n_unique_kmers(self):
         return int(self._n_unique)
@@ -75,27 +90,45 @@ class Storage:
     def get_use_bigcount(self):
         return self._use_bigcount
 
-    def _apply_bigcount_triggers(self, hashes, triggers):
-        """Apply device-detected saturation escapes to the host sparse map.
+    def _read_spec(self):
+        """Spec whose read cap honors the current bigcount toggle."""
+        if self.spec.use_bigcount != self._use_bigcount:
+            return SketchSpec(self.spec.kind, self.spec.tablesizes,
+                              self._use_bigcount)
+        return self.spec
 
-        Sequential parity (reference storage.hh:610-621): the first trigger
-        for a hash sets its bigcount to 256; each further trigger adds one,
-        capped at MAX_BIGCOUNT."""
-        nz = np.nonzero(triggers)[0]
-        if nz.size == 0:
-            return
-        bc = self.bigcounts
-        for i in nz:
-            h = int(hashes[i])
-            t = int(triggers[i])
-            cur = bc.get(h, 0)
-            if cur == 0:
-                cur = MAX_KCOUNT + 1
-                t -= 1
-            bc[h] = min(cur + t, MAX_BIGCOUNT)
+    def _track_bigcount_aux(self, aux):
+        if "bigcount_hashes" in aux and self._use_bigcount:
+            valid = np.asarray(aux["bigcount_valid"])
+            if valid.any():
+                hs = np.asarray(aux["bigcount_hashes"])[valid]
+                self.bigcount_candidates.update(int(x) for x in np.unique(hs))
+            if bool(aux.get("bigcount_overflow", False)):
+                import warnings
+
+                warnings.warn(
+                    "bigcount candidate budget overflowed for one batch; "
+                    "counts >255 for some k-mers may be missing from the "
+                    "saved bigcount section")
+
+    def resolved_bigcounts(self):
+        """Exact {hash: count} for counts in (255, 65535] — the OXLI
+        bigcount section.  Merges live candidates with any map loaded
+        from disk."""
+        out = dict(self.bigcounts)
+        if self.bigcount_candidates:
+            cand = np.fromiter(self.bigcount_candidates, np.uint64,
+                               len(self.bigcount_candidates))
+            counts = np.asarray(sketch_get(
+                SketchSpec(self.spec.kind, self.spec.tablesizes, True),
+                self.table, jnp.asarray(cand)))
+            for h, c in zip(cand, counts):
+                if c > MAX_KCOUNT:
+                    out[int(h)] = min(int(c), MAX_BIGCOUNT)
+        return out
 
     def _overlay_bigcounts(self, counts, hashes):
-        """Replace saturated counts with bigcount values (host side)."""
+        """Overlay a *loaded* bigcount map onto capped reads."""
         if not self._use_bigcount or not self.bigcounts:
             return counts
         counts = np.array(counts, copy=True)
@@ -117,25 +150,19 @@ class Storage:
             weights = jnp.ones(hashes.shape, dtype=U32)
         else:
             weights = jnp.asarray(weights, dtype=U32)
-        update = UPDATE_FNS[self.kind]
-        self.table, self._n_occupied, self._n_unique, aux = update(
-            self.spec, self.table, self._n_occupied, self._n_unique,
+        self.table, _, self._n_unique, aux = sketch_update(
+            self.spec, self.table, jnp.zeros((), U64), self._n_unique,
             hashes.reshape(-1), weights.reshape(-1))
-        if self._use_bigcount and "bigcount_hashes" in aux:
-            self._apply_bigcount_triggers(
-                np.asarray(aux["bigcount_hashes"]),
-                np.asarray(aux["bigcount_triggers"]))
+        self._loaded_occupied = None
+        self._track_bigcount_aux(aux)
         return aux["premin"] == 0
 
     def update_stats(self, table, n_occupied, n_unique, aux):
         """Adopt results of an externally-run fused update kernel."""
         self.table = table
-        self._n_occupied = n_occupied
         self._n_unique = n_unique
-        if self._use_bigcount and "bigcount_hashes" in aux:
-            self._apply_bigcount_triggers(
-                np.asarray(aux["bigcount_hashes"]),
-                np.asarray(aux["bigcount_triggers"]))
+        self._loaded_occupied = None
+        self._track_bigcount_aux(aux)
 
     def add(self, khash):
         """Single-hash add; returns True when the k-mer was unseen."""
@@ -148,14 +175,15 @@ class Storage:
     def get_batch(self, hashes, with_bigcount=True):
         """Counts for a batch of hashes (numpy uint16)."""
         hashes = jnp.asarray(hashes, dtype=U64)
-        counts = np.asarray(GET_FNS[self.kind](self.spec, self.table, hashes))
+        counts = np.asarray(
+            sketch_get(self._read_spec(), self.table, hashes))
         if with_bigcount and self.kind == "byte":
             counts = self._overlay_bigcounts(counts, hashes)
         return counts
 
     def get_batch_device(self, hashes):
-        """Counts on device (no bigcount overlay)."""
-        return GET_FNS[self.kind](self.spec, self.table, hashes)
+        """Counts on device (no loaded-map overlay)."""
+        return sketch_get(self._read_spec(), self.table, hashes)
 
     def get(self, khash):
         return int(self.get_batch(jnp.asarray([khash], dtype=U64))[0])
@@ -165,17 +193,17 @@ class Storage:
     # -- host access ------------------------------------------------------
 
     def raw_bytes(self):
-        """All table bytes (without the trailing dummy), host numpy."""
-        return np.asarray(self.table)[: self.spec.total_bytes]
+        """All table bytes in OXLI on-disk layout, host numpy."""
+        return np.asarray(pack_oxli_bytes(self.spec, self.table))
 
     def set_raw_bytes(self, data, n_occupied=0):
         data = np.asarray(data, dtype=np.uint8)
         if data.size != self.spec.total_bytes:
             raise ValueError("raw byte size mismatch")
-        self.table = jnp.asarray(
-            np.concatenate([data, np.zeros(1, np.uint8)]))
-        self._n_occupied = jnp.asarray(n_occupied, U64)
+        self.table = unpack_oxli_bytes(self.spec, data)
         self._n_unique = jnp.zeros((), U64)
+        self._loaded_occupied = int(n_occupied)
+        self.bigcount_candidates = set()
 
 
 class BitStorage(Storage):
@@ -184,20 +212,13 @@ class BitStorage(Storage):
     kind = "bit"
 
     def update_from(self, other):
-        """Bitwise union of two same-geometry Bloom filters
+        """Union of two same-geometry Bloom filters
         (reference src/oxli/storage.cc:63-96)."""
         if self.spec.tablesizes != other.spec.tablesizes:
             raise ValueError("both nodegraphs must have same table sizes")
-        mine = self.raw_bytes()
-        theirs = other.raw_bytes()
-        merged = mine | theirs
-        t0 = self.spec.bytes_per_table[0]
-        newly = np.bitwise_xor(mine[:t0], merged[:t0])
-        occ = int(self._n_occupied) + int(
-            np.unpackbits(newly).sum())
-        n_uniq = self._n_unique
-        self.set_raw_bytes(merged, occ)
-        self._n_unique = n_uniq  # update_from does not adjust n_unique
+        self.table = jnp.maximum(self.table, other.table)
+        self._loaded_occupied = None
+        # update_from does not adjust n_unique (reference behavior)
 
 
 class ByteStorage(Storage):
@@ -205,9 +226,6 @@ class ByteStorage(Storage):
 
     kind = "byte"
     supports_bigcount = True
-
-    def __init__(self, tablesizes, use_bigcount=False):
-        super().__init__(tablesizes, use_bigcount=use_bigcount)
 
 
 class NibbleStorage(Storage):

@@ -137,7 +137,7 @@ def test_save_load_roundtrip(tmp_path):
         assert st2.n_occupied() == st.n_occupied()
         assert np.array_equal(st2.raw_bytes(), st.raw_bytes())
         if cls is ByteStorage:
-            assert st2.bigcounts == st.bigcounts
+            assert st2.bigcounts == st.resolved_bigcounts()
             assert st2.get(11) == st.get(11)
 
 
