@@ -218,14 +218,124 @@ class Hashgraph(Hashtable):
 
     # -- partitioning ---------------------------------------------------------
 
+    @property
+    def partition(self):
+        """The graph's master SubsetPartition (graphs.pyx:546-551)."""
+        if getattr(self, "_partition", None) is None:
+            from khmer_tpu.partitioning import SubsetPartition
+
+            self._partition = SubsetPartition(self)
+        return self._partition
+
+    @partition.setter
+    def partition(self, value):
+        self._partition = value
+
     def do_subset_partition(self, start_kmer=0, end_kmer=0,
-                            break_on_stop_tags=False, stop_big_traversals=False):
+                            break_on_stop_tags=False,
+                            stop_big_traversals=False):
         from khmer_tpu.partitioning import SubsetPartition
 
         subset = SubsetPartition(self)
         subset.do_partition(start_kmer, end_kmer, break_on_stop_tags,
                             stop_big_traversals)
         return subset
+
+    def find_all_tags(self, kmer):
+        """PrePartitionInfo for one seed k-mer (graphs.pyx:763-775)."""
+        h = self.hash(kmer) if isinstance(kmer, str) else int(kmer)
+        return self.partition.find_all_tags(h)
+
+    def find_all_tags_list(self, kmer):
+        """HashSet of tags connected to this k-mer (graphs.pyx:658-669)."""
+        from khmer_tpu.hashset import HashSet
+
+        ppi = self.find_all_tags(kmer)
+        hs = HashSet(self._ksize)
+        hs.update(ppi.tagged_kmers)
+        return hs
+
+    def assign_partition_id(self, ppi):
+        return self.partition.assign_partition_id(ppi)
+
+    def output_partitions(self, filename, output, output_unassigned=False):
+        return self.partition.output_partitioned_file(
+            filename, output, output_unassigned)
+
+    def load_partitionmap(self, filename):
+        self.partition.load_partitionmap(filename)
+
+    def save_partitionmap(self, filename):
+        self.partition.save_partitionmap(filename)
+
+    def _validate_partitionmap(self):
+        self.partition._validate_pmap()
+
+    def merge_subset(self, subset):
+        self.partition.merge(subset)
+
+    def merge_subset_from_disk(self, filename):
+        self.partition.merge_from_disk(filename)
+
+    def count_partitions(self):
+        return self.partition.count_partitions()
+
+    def set_partition_id(self, kmer, pid):
+        self.partition.set_partition_id(kmer, pid)
+
+    def join_partitions(self, p1, p2):
+        return self.partition.join_partitions(p1, p2)
+
+    def get_partition_id(self, kmer):
+        return self.partition.get_partition_id(kmer)
+
+    def repartition_largest_partition(self, counts, distance, threshold,
+                                      frequency, subs=None):
+        part = subs if subs is not None else self.partition
+        return part.repartition_largest_partition(
+            distance, threshold, frequency, counts)
+
+    def sweep_for_tags(self, seq, break_on_stop_tags=False,
+                       stop_big_traversals=False):
+        return self.partition.sweep_for_tags(
+            seq, break_on_stop_tags, stop_big_traversals)
+
+    def find_unpart(self, filename, traverse, stop_big_traversals):
+        return self.partition.find_unpart(
+            filename, traverse, stop_big_traversals)
+
+    # -- stop-tag helpers ------------------------------------------------------
+
+    def trim_on_stoptags(self, sequence):
+        from khmer_tpu import traversal
+
+        return traversal.trim_on_stoptags(self, sequence)
+
+    def count_kmers_within_radius(self, kmer, radius, max_count=0):
+        from khmer_tpu import traversal
+
+        return traversal.count_kmers_within_radius(
+            self, kmer, radius, max_count)
+
+    def get_tags_and_positions(self, sequence):
+        """(pos, tag) pairs of sequence k-mers that are tags
+        (graphs.pyx:638-648)."""
+        out = []
+        hashes = self._hash_array(sequence)
+        for i in range(hashes.shape[0]):
+            h = int(hashes[i])
+            if h in self.all_tags:
+                out.append((i + 1, h))
+        return out
+
+    def get_tags_for_sequence(self, sequence):
+        """HashSet of tags overlapping the sequence (graphs.pyx:650-656)."""
+        from khmer_tpu.hashset import HashSet
+
+        hs = HashSet(self._ksize)
+        for _, h in self.get_tags_and_positions(sequence):
+            hs.add(h)
+        return hs
 
     def consume_seqfile_and_tag_with_reads_parser(self, parser):
         return self.consume_seqfile_and_tag(parser)

@@ -1,0 +1,536 @@
+"""Tag-graph partitioning: the TPU equivalent of SubsetPartition
+(reference src/oxli/subset.cc, include/oxli/subset.hh; Cython facade
+khmer/_oxli/legacy_partitioning.pyx).
+
+Partitions are connected components of the sparse tag graph: two tags
+connect when a breadth-limited BFS (max breadth 2*tag_density + 1,
+subset.cc:349) in k-mer space reaches one from the other.  The
+reference chases pointers one node at a time (PartitionID* unions);
+here every BFS level of a whole *batch of seed tags* resolves its
+8-way neighbor membership in one device query, and the tag unions run
+through a plain union-find keyed by partition id.
+
+Parity notes:
+  * partition ids start at 2 (subset.cc:85) and the first partition id
+    found among the tagged set wins a merge (subset.cc:798-845).
+  * with stop_big_traversals, traversals abort once more than
+    BIG_TRAVERSALS_ARE=200 k-mers are kept (subset.cc:54,364); the
+    batched level-BFS applies the abort at level granularity, which can
+    differ from the reference's FIFO-order abort on adversarial
+    borderline components (documented deviation).
+  * pmap files are byte-compatible (subset.cc:1158-1229): records of
+    (uint64 tag, uint32 partition id) for every *assigned* tag, with
+    the header count covering null entries as the reference writes it.
+"""
+
+import struct
+
+import numpy as np
+
+from khmer_tpu.traversal import (
+    _expand,
+    counts_of,
+    fr_from_hash,
+)
+
+BIG_TRAVERSALS_ARE = 200  # reference subset.cc:54
+
+
+class PrePartitionInfo:
+    """Result of find_all_tags for one seed (legacy_partitioning.pyx:8)."""
+
+    __slots__ = ("kmer", "tagged_kmers")
+
+    def __init__(self, kmer, tagged_kmers):
+        self.kmer = kmer
+        self.tagged_kmers = tagged_kmers
+
+
+class SubsetPartition:
+    def __init__(self, graph):
+        self.graph = graph
+        self.partition_map = {}  # tag hash -> partition id (or None)
+        self.next_partition_id = 2  # reference subset.cc:85
+        self._rev = {}  # pid -> set of tags
+
+    # -- core BFS ---------------------------------------------------------
+
+    def find_all_tags(self, start_kmer, break_on_stop_tags=False,
+                      stop_big_traversals=False):
+        """Tags reachable from one seed (subset.cc:335-427)."""
+        out = self.find_all_tags_batch([start_kmer], break_on_stop_tags,
+                                       stop_big_traversals)
+        return out[0]
+
+    def find_all_tags_batch(self, seeds, break_on_stop_tags=False,
+                            stop_big_traversals=False):
+        """Per-seed tagged-kmer sets for a batch of seed hashes; each
+        BFS level of every live seed resolves membership in ONE device
+        query."""
+        k = self.graph.ksize()
+        all_tags = self.graph.all_tags
+        stop_tags = self.graph.stop_tags
+        max_breadth = 2 * self.graph.tag_density + 1
+
+        n = len(seeds)
+        keepers = [set() for _ in range(n)]
+        tagged = [set() for _ in range(n)]
+        aborted = [False] * n
+
+        fs, rs, sids = [], [], []
+        for s, h in enumerate(seeds):
+            f, r = fr_from_hash(int(h), k)
+            fs.append(f)
+            rs.append(r)
+            sids.append(s)
+        cf = np.asarray(fs, np.uint64)
+        cr = np.asarray(rs, np.uint64)
+        sid = np.asarray(sids, np.int64)
+        first_level = True
+
+        breadth = 0
+        while cf.size:
+            canon = np.minimum(cf, cr)
+            expand_rows = []
+            for i in range(canon.shape[0]):
+                s = int(sid[i])
+                if aborted[s]:
+                    continue
+                if stop_big_traversals and len(keepers[s]) > \
+                        BIG_TRAVERSALS_ARE:
+                    aborted[s] = True
+                    tagged[s].clear()
+                    continue
+                c = int(canon[i])
+                if c in keepers[s]:
+                    continue
+                if break_on_stop_tags and c in stop_tags:
+                    continue
+                keepers[s].add(c)
+                if not first_level and c in all_tags:
+                    tagged[s].add(c)
+                    continue
+                if breadth >= max_breadth:
+                    continue
+                expand_rows.append(i)
+            if not expand_rows:
+                break
+            idx = np.asarray(expand_rows)
+            nf, nr, ncanon, src = _expand(self.graph, cf[idx], cr[idx], k)
+            cf, cr = nf, nr
+            sid = sid[idx][src]
+            first_level = False
+            breadth += 1
+        return [PrePartitionInfo(int(s), t)
+                for s, t in zip(seeds, tagged)]
+
+    # -- partition id bookkeeping ----------------------------------------
+
+    def _new_pid(self):
+        pid = self.next_partition_id
+        self.next_partition_id += 1
+        self._rev[pid] = set()
+        return pid
+
+    def _rewrite(self, winner, loser):
+        """Merge partition `loser` into `winner`
+        (subset.cc:_merge_two_partitions; the reference relabels the
+        smaller pointer set — ids are preserved per its choice)."""
+        if winner == loser:
+            return winner
+        sw = self._rev.get(winner, set())
+        sl = self._rev.get(loser, set())
+        if len(sw) < len(sl):
+            winner, loser = loser, winner
+            sw, sl = sl, sw
+        for tag in sl:
+            self.partition_map[tag] = winner
+        sw.update(sl)
+        self._rev[winner] = sw
+        self._rev.pop(loser, None)
+        return winner
+
+    def assign_partition_id(self, kmer, tagged_kmers=None):
+        """Assign/merge partition for a seed tag and its tagged set
+        (subset.cc:774-845)."""
+        if isinstance(kmer, PrePartitionInfo):
+            tagged_kmers = kmer.tagged_kmers
+            kmer = kmer.kmer
+        kmer = int(kmer)
+        tagged_kmers = set(int(t) for t in (tagged_kmers or ()))
+        if not tagged_kmers:
+            self.partition_map.pop(kmer, None)
+            return 0
+        # first assigned id among the tagged set wins
+        this_pid = None
+        for t in sorted(tagged_kmers):
+            pid = self.partition_map.get(t)
+            if pid is not None:
+                this_pid = pid
+                break
+        if this_pid is None:
+            this_pid = self._new_pid()
+        for t in tagged_kmers:
+            pid = self.partition_map.get(t)
+            if pid is None:
+                self.partition_map[t] = this_pid
+                self._rev[this_pid].add(t)
+            elif pid != this_pid:
+                this_pid = self._rewrite(this_pid, pid)
+        self.partition_map[kmer] = this_pid
+        self._rev[this_pid].add(kmer)
+        return this_pid
+
+    def set_partition_id(self, kmer, pid):
+        kmer = int(kmer) if not isinstance(kmer, str) else \
+            self.graph.hash(kmer)
+        pid = int(pid)
+        if pid not in self._rev:
+            self._rev[pid] = set()
+        old = self.partition_map.get(kmer)
+        if old is not None and old in self._rev:
+            self._rev[old].discard(kmer)
+        self.partition_map[kmer] = pid
+        self._rev[pid].add(kmer)
+        if self.next_partition_id <= pid:
+            self.next_partition_id = pid + 1
+
+    def join_partitions(self, p1, p2):
+        """(subset.cc:890-915)"""
+        if p1 == p2:
+            return p1
+        if p1 == 0 or p2 == 0:
+            return 0
+        if p1 not in self._rev or p2 not in self._rev:
+            return 0
+        self._rewrite(p1, p2)
+        return p1
+
+    def get_partition_id(self, kmer):
+        if isinstance(kmer, str):
+            kmer = self.graph.hash(kmer)
+        pid = self.partition_map.get(int(kmer))
+        return 0 if pid is None else pid
+
+    # -- driving ----------------------------------------------------------
+
+    def do_partition(self, first_kmer=0, last_kmer=0,
+                     break_on_stop_tags=False, stop_big_traversals=False,
+                     batch=64):
+        """Partition tags in [first_kmer, last_kmer) of the sorted tag
+        set (subset.cc:623-675), seed-batched."""
+        tags = sorted(self.graph.all_tags)
+        lo = tags.index(first_kmer) if first_kmer else 0
+        hi = tags.index(last_kmer) if last_kmer else len(tags)
+        span = tags[lo:hi]
+        for i in range(0, len(span), batch):
+            ppis = self.find_all_tags_batch(
+                span[i: i + batch], break_on_stop_tags,
+                stop_big_traversals)
+            for ppi in ppis:
+                self.assign_partition_id(ppi.kmer, ppi.tagged_kmers)
+
+    # -- stats ------------------------------------------------------------
+
+    def count_partitions(self):
+        """(n_partitions, n_unassigned) over the graph's tags
+        (subset.cc count_partitions; note the reference's operator[]
+        inserts null entries for unseen tags — size parity kept)."""
+        parts = set()
+        n_unassigned = 0
+        for tag in self.graph.all_tags:
+            pid = self.partition_map.setdefault(int(tag), None)
+            if pid is not None:
+                parts.add(pid)
+            else:
+                n_unassigned += 1
+        return len(parts), n_unassigned
+
+    def partition_sizes(self, min_size=0):
+        cm = {}
+        n_unassigned = 0
+        for tag in self.graph.all_tags:
+            pid = self.partition_map.get(int(tag))
+            if pid is not None:
+                cm[pid] = cm.get(pid, 0) + 1
+            else:
+                n_unassigned += 1
+        sizes = [(p, s) for p, s in sorted(cm.items()) if s >= min_size]
+        return sizes, n_unassigned
+
+    def partition_size_distribution(self):
+        sizes, n_unassigned = self.partition_sizes()
+        d = {}
+        for _, s in sizes:
+            d[s] = d.get(s, 0) + 1
+        return sorted(d.items()), n_unassigned
+
+    def partition_average_coverages(self, counting):
+        sums = {}
+        ns = {}
+        for tag, pid in self.partition_map.items():
+            if pid is None:
+                continue
+            sums[pid] = sums.get(pid, 0) + counting.get(int(tag))
+            ns[pid] = ns.get(pid, 0) + 1
+        return sorted((p, sums[p] // ns[p]) for p in sums)
+
+    # -- persistence (byte parity: subset.cc:1158-1229) -------------------
+
+    def save_partitionmap(self, filename):
+        from khmer_tpu.io.oxli_format import (SAVED_FORMAT_VERSION,
+                                              SAVED_SIGNATURE, SAVED_SUBSET)
+
+        with open(filename, "wb") as f:
+            f.write(SAVED_SIGNATURE)
+            f.write(struct.pack("BB", SAVED_FORMAT_VERSION, SAVED_SUBSET))
+            f.write(struct.pack("<I", self.graph.ksize()))
+            f.write(struct.pack("<Q", len(self.partition_map)))
+            for tag in sorted(self.partition_map):
+                pid = self.partition_map[tag]
+                if pid is not None:
+                    f.write(struct.pack("<QI", tag, pid))
+
+    def load_partitionmap(self, filename):
+        self.merge_from_disk(filename)
+
+    def merge_from_disk(self, filename):
+        """Merge a pmap file: equal disk ids unify tags locally
+        (subset.cc:1006-1157)."""
+        from khmer_tpu.io.oxli_format import (OxliFileError,
+                                              SAVED_FORMAT_VERSION,
+                                              SAVED_SIGNATURE, SAVED_SUBSET)
+
+        with open(filename, "rb") as f:
+            data = f.read()
+        if len(data) == 18:
+            raise OxliFileError(
+                filename + " contains only a header and no partition IDs.")
+        if data[:4] != SAVED_SIGNATURE:
+            raise OxliFileError(
+                "Incorrect file signature while reading subset pmap from "
+                + filename)
+        version, ht_type = data[4], data[5]
+        if version != SAVED_FORMAT_VERSION:
+            raise OxliFileError(
+                "Incorrect file format version {} while reading subset "
+                "pmap from {}".format(version, filename))
+        if ht_type != SAVED_SUBSET:
+            raise OxliFileError(
+                "Incorrect file format type {} while reading subset "
+                "pmap from {}".format(ht_type, filename))
+        (ksize,) = struct.unpack_from("<I", data, 6)
+        if ksize != self.graph.ksize():
+            raise OxliFileError(
+                "Incorrect k-mer size {} while reading subset pmap "
+                "from {}".format(ksize, filename))
+        off = 18
+        diskp_to_pid = {}
+        while off + 12 <= len(data):
+            tag, diskp = struct.unpack_from("<QI", data, off)
+            off += 12
+            local = diskp_to_pid.get(diskp)
+            existing = self.partition_map.get(tag)
+            if local is None:
+                if existing is not None:
+                    local = existing
+                else:
+                    local = self._new_pid()
+                diskp_to_pid[diskp] = local
+            if existing is None:
+                self.partition_map[tag] = local
+                self._rev.setdefault(local, set()).add(tag)
+            elif existing != local:
+                winner = self._rewrite(local, existing)
+                if winner != local:
+                    diskp_to_pid[diskp] = winner
+        return
+
+    def merge(self, other):
+        """Merge another subset's map (subset.cc:935-1005)."""
+        diskp_to_pid = {}
+        for tag in sorted(other.partition_map):
+            diskp = other.partition_map[tag]
+            if diskp is None:
+                continue
+            local = diskp_to_pid.get(diskp)
+            existing = self.partition_map.get(tag)
+            if local is None:
+                local = existing if existing is not None else self._new_pid()
+                diskp_to_pid[diskp] = local
+            if existing is None:
+                self.partition_map[tag] = local
+                self._rev.setdefault(local, set()).add(tag)
+            elif existing != local:
+                winner = self._rewrite(local, existing)
+                if winner != local:
+                    diskp_to_pid[diskp] = winner
+
+    # -- read output ------------------------------------------------------
+
+    def output_partitioned_file(self, infilename, outputfile,
+                                output_unassigned=False):
+        """Annotate reads with partition ids (subset.cc:115-334): the
+        first k-mer of the read found in the partition map decides."""
+        from khmer_tpu.io.fastx import FastxReader
+
+        n_partitions = set()
+        n_singletons = 0
+        with open(outputfile, "w") as out:
+            for read in FastxReader(infilename):
+                seq = read.cleaned_seq
+                if len(seq) < self.graph.ksize():
+                    continue
+                hashes = self.graph._hash_array(seq)
+                partition_id = 0
+                found_tag = False
+                for h in hashes:
+                    h = int(h)
+                    if h in self.partition_map:
+                        found_tag = True
+                        pid = self.partition_map[h]
+                        if pid is None:
+                            partition_id = 0
+                            n_singletons += 1
+                        else:
+                            partition_id = pid
+                            n_partitions.add(pid)
+                        break
+                if partition_id > 0 or output_unassigned:
+                    if read.quality is not None:
+                        out.write("@%s\t%d\n%s\n+\n%s\n" % (
+                            read.name, partition_id, seq, read.quality))
+                    else:
+                        out.write(">%s\t%d\n%s\n" % (
+                            read.name, partition_id, seq))
+        return len(n_partitions)
+
+    # -- sweep (annotate arbitrary reads by neighborhood) ------------------
+
+    def sweep_for_tags(self, seq, break_on_stop_tags=False,
+                       stop_big_traversals=False):
+        """BFS from every k-mer of the read out to nearby tags
+        (subset.cc:427-520; range-limited to tag_density, perimeter
+        abort at 200*len)."""
+        k = self.graph.ksize()
+        all_tags = self.graph.all_tags
+        stop_tags = self.graph.stop_tags
+        max_breadth = self.graph.tag_density
+        big = BIG_TRAVERSALS_ARE * len(seq)
+
+        hashes = self.graph._hash_array(seq)
+        tagged = set()
+        keeper = set()
+        from khmer_tpu.ops import encode as enc
+        from khmer_tpu.traversal import fr_from_hash_codes
+
+        codes = enc.encode_sequence(seq)
+        fs = []
+        rs = []
+        for i in range(hashes.shape[0]):
+            f, r = fr_from_hash_codes(codes[i: i + k])
+            fs.append(f)
+            rs.append(r)
+        cf = np.asarray(fs, np.uint64)
+        cr = np.asarray(rs, np.uint64)
+        breadth = 0
+        while cf.size:
+            canon = np.minimum(cf, cr)
+            expand_rows = []
+            for i in range(canon.shape[0]):
+                if stop_big_traversals and len(keeper) > big:
+                    break
+                c = int(canon[i])
+                if c in keeper:
+                    continue
+                if break_on_stop_tags and c in stop_tags:
+                    continue
+                keeper.add(c)
+                if c in all_tags:
+                    tagged.add(c)
+                    continue
+                if breadth >= max_breadth:
+                    continue
+                expand_rows.append(i)
+            if not expand_rows:
+                break
+            idx = np.asarray(expand_rows)
+            nf, nr, _, _ = _expand(self.graph, cf[idx], cr[idx], k)
+            cf, cr = nf, nr
+            breadth += 1
+        return tagged
+
+    # -- repartition / stop-tag generation --------------------------------
+
+    def find_unpart(self, infilename, traverse, stop_big_traversals):
+        """Assign partitions to reads whose tags are unpartitioned
+        (subset.cc find_unpart)."""
+        from khmer_tpu.io.fastx import FastxReader
+
+        n = 0
+        for read in FastxReader(infilename):
+            seq = read.cleaned_seq
+            if len(seq) < self.graph.ksize():
+                continue
+            tags = self.sweep_for_tags(
+                seq, stop_big_traversals=stop_big_traversals) \
+                if traverse else {
+                    int(h) for h in self.graph._hash_array(seq)
+                    if int(h) in self.graph.all_tags}
+            if tags:
+                self.assign_partition_id(next(iter(tags)), tags)
+                n += 1
+        return n
+
+    def repartition_largest_partition(self, distance, threshold, frequency,
+                                      counting):
+        """Find the largest partition, traverse from its tags stopping
+        high-abundance k-mers into stop_tags, then re-partition
+        (subset.cc:1340-1548)."""
+        from khmer_tpu.traversal import traverse_from_kmer
+
+        sizes, _ = self.partition_sizes()
+        if not sizes:
+            return 0
+        biggest = max(sizes, key=lambda ps: ps[1])[0]
+        tags = [t for t, p in self.partition_map.items() if p == biggest]
+
+        for tag in tags:
+            keeper = traverse_from_kmer(self.graph, tag, distance)
+            if len(keeper) >= threshold:
+                for km in keeper:
+                    if counting.get(int(km)) > frequency:
+                        self.graph.add_stop_tag(int(km))
+                    else:
+                        counting.add(int(km))
+        # clear this partition's assignments and re-partition its tags
+        for tag in tags:
+            self.partition_map.pop(tag, None)
+        self._rev.pop(biggest, None)
+        for i in range(0, len(tags), 64):
+            ppis = self.find_all_tags_batch(
+                sorted(tags)[i: i + 64], break_on_stop_tags=True,
+                stop_big_traversals=True)
+            for ppi in ppis:
+                self.assign_partition_id(ppi.kmer, ppi.tagged_kmers)
+        sizes, _ = self.partition_sizes()
+        next_sizes = sorted((s for _, s in sizes), reverse=True)
+        return next_sizes[0] if next_sizes else 0
+
+    def _validate_pmap(self):
+        for tag, pid in self.partition_map.items():
+            if pid is not None and not (1 <= pid < self.next_partition_id):
+                raise ValueError("invalid partition map")
+
+    # legacy_partitioning.pyx load()
+    @staticmethod
+    def load(filename, graph):
+        subset = SubsetPartition(graph)
+        subset.merge_from_disk(filename)
+        return subset
+
+    def report_on_partitions(self):
+        n_partitions, n_unassigned = self.count_partitions()
+        print("%d tags total" % len(self.graph.all_tags))
+        print("%d partitions total" % n_partitions)
+        print("%d unassigned tags" % n_unassigned)
