@@ -181,6 +181,26 @@ def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind, want_lanes):
     return jax.jit(fn, donate_argnums=(1,))
 
 
+@lru_cache(maxsize=None)
+def _make_median_at_least_fn(spec, k, hash_kind):
+    """Batched median_at_least (hashtable.cc:341-370): per row, true
+    when #(counts >= cutoff) >= int(0.5 + n/2)."""
+
+    def fn(table, data, lengths, cutoff):
+        if hash_kind == "2bit":
+            h, valid = kmer_hashes_2bit(data, lengths, k)
+        else:
+            h, valid = kmer_hashes_murmur_bytes(data, lengths, k)
+        counts = sketch_get(spec, table, h)
+        hits = jnp.sum(((counts >= cutoff) & valid).astype(jnp.int32),
+                       axis=1)
+        n = jnp.sum(valid.astype(jnp.int32), axis=1)
+        min_req = (n + 1) // 2  # int(0.5 + n/2)
+        return (hits >= min_req) & (n > 0)
+
+    return jax.jit(fn)
+
+
 class _FlatBatcher:
     """Accumulate encoded reads into fixed-size flat chunks + window masks."""
 
@@ -496,6 +516,32 @@ class Hashtable:
         n = counts.size
         min_req = int(0.5 + n / 2.0)
         return bool((counts >= cutoff).sum() >= min_req)
+
+    def median_at_least_batch(self, sequences, cutoff):
+        """median_at_least for a batch of sequences in ONE device call
+        (the fork's batched-query precedent, normalize-by-median.py:
+        155-172, generalized): returns a bool numpy array."""
+        n = len(sequences)
+        if n == 0:
+            return np.zeros(0, bool)
+        k = self._ksize
+        enc_rows = [self._encode(s) for s in sequences]
+        L = max(r.shape[0] for r in enc_rows)
+        L = max(-(-L // 64) * 64 + k, 64 + k)
+        B = 1
+        while B < n:
+            B *= 2
+        data = np.zeros((B, L), np.uint8)
+        lengths = np.zeros(B, np.int32)
+        for i, r in enumerate(enc_rows):
+            data[i, : r.shape[0]] = r
+            lengths[i] = r.shape[0]
+        fn = _make_median_at_least_fn(self.storage._read_spec(), k,
+                                      self.hash_kind)
+        out = np.asarray(fn(self.storage.table, jnp.asarray(data),
+                            jnp.asarray(lengths),
+                            jnp.asarray(cutoff, U32)))
+        return out[:n]
 
     def _trim_where(self, sequence, bad_mask):
         """Shared trim logic (hashtable.cc:503-570), including the

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Count the median/avg k-mer abundance for each sequence in the input
+file, based on the k-mer counts in the given k-mer countgraph.
+
+% scripts/count-median.py <countgraph> <input seqs> <output counts>
+
+The output file contains sequence id, median, average, stddev, and seq
+length, in comma-separated value (CSV) format.
+
+NOTE: All 'N's in the input sequences are converted to 'A's.
+
+TPU port of the reference scripts/count-median.py (same CLI/outputs).
+"""
+
+import argparse
+import csv
+import sys
+import textwrap
+
+from khmer_tpu import Countgraph
+from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.kfile import check_input_files, check_space
+from khmer_tpu.khmer_args import KhmerArgumentParser, sanitize_help
+
+
+def get_parser():
+    epilog = """\
+    Count the median/avg k-mer abundance for each sequence in the input
+    file, based on the k-mer counts in the given k-mer countgraph.  Can be
+    used to estimate expression levels (mRNAseq) or coverage
+    (genomic/metagenomic).
+
+    Example::
+
+        load-into-counting.py counts tests/test-data/test-reads.fq.gz
+        count-median.py counts tests/test-data/test-reads.fq.gz medians.txt
+
+    NOTE: All 'N's in the input sequences are converted to 'A's.
+    """
+    parser = KhmerArgumentParser(
+        description='Count k-mers summary stats for sequences',
+        epilog=textwrap.dedent(epilog))
+    parser.add_argument('countgraph', metavar='input_count_graph_filename',
+                        help='input k-mer countgraph filename')
+    parser.add_argument('input', metavar='input_sequence_filename',
+                        help='input FAST[AQ] sequence filename')
+    parser.add_argument('output', metavar='output_summary_filename',
+                        help='output summary filename',
+                        type=argparse.FileType('w'))
+    parser.add_argument('-f', '--force', default=False, action='store_true',
+                        help='Overwrite output file if it exists')
+    return parser
+
+
+def main():
+    args = sanitize_help(get_parser()).parse_args()
+
+    htfile = args.countgraph
+    input_filename = args.input
+    output = args.output
+
+    infiles = [htfile, input_filename]
+    for infile in infiles:
+        check_input_files(infile, args.force)
+
+    check_space(infiles, args.force)
+
+    print('loading k-mer countgraph from', htfile, file=sys.stderr)
+    countgraph = Countgraph.load(htfile)
+    ksize = countgraph.ksize()
+    print('writing to', output.name, file=sys.stderr)
+
+    output = csv.writer(output)
+    output.writerow(['name', 'median', 'average', 'stddev', 'seqlen'])
+
+    for record in FastxReader(input_filename):
+        seq = record.sequence.upper()
+        if 'N' in seq:
+            seq = seq.replace('N', 'A')
+
+        if ksize <= len(seq):
+            medn, ave, stdev = countgraph.get_median_count(seq)
+            ave, stdev = [round(x, 9) for x in (ave, stdev)]
+            output.writerow([record.name, medn, ave, stdev, len(seq)])
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""Eliminate surplus reads by median k-mer abundance (digital
+normalization).
+
+% python scripts/normalize-by-median.py [ -C <cutoff> ] <data1> <data2> ...
+
+Kept sequences will be placed in <fileN>.keep.
+
+TPU port of the reference scripts/normalize-by-median.py: identical CLI
+and sequential semantics.  The hot path generalizes the fork's batched
+MQF query trick (reference normalize-by-median.py:155-172): each batch
+of reads is median-tested against the current sketch in ONE device
+call; reads already at coverage are dropped immediately (exact — counts
+only grow, so a stale median >= C implies the sequential median is
+too), and only below-coverage candidates fall back to the sequential
+query+consume path.
+"""
+
+import argparse
+import os
+import sys
+import textwrap
+from contextlib import contextmanager
+
+import khmer_tpu as khmer
+from khmer_tpu import khmer_args
+from khmer_tpu.graph import Countgraph
+from khmer_tpu.khmer_args import (FileType as khFileType,
+                                  add_loadgraph_args, build_counting_args,
+                                  calculate_graphsize, check_argument_range,
+                                  report_on_config, sanitize_help)
+from khmer_tpu.kfile import (add_output_compression_type, check_space,
+                             check_space_for_graph, check_valid_file_exists,
+                             describe_file_handle, get_file_writer)
+from khmer_tpu.khmer_logger import configure_logging, log_error, log_info
+from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.utils import (ReadBundle, broken_paired_reader,
+                             clean_input_reads, write_record)
+
+DEFAULT_DESIRED_COVERAGE = 20
+BATCH = 512
+
+
+class Normalizer(object):
+    """Digital normalization with exact batched pre-screening."""
+
+    def __init__(self, desired_coverage, countgraph, batch=BATCH):
+        self.countgraph = countgraph
+        self.desired_coverage = desired_coverage
+        self.batch = batch
+        self.total = 0
+        self.kept = 0
+
+    def _drain(self, pending):
+        """Decide a batch: one device call screens out bundles whose
+        every read is already at coverage; survivors get the exact
+        sequential treatment."""
+        graph = self.countgraph
+        C = self.desired_coverage
+        seqs = []
+        spans = []
+        for bundle in pending:
+            spans.append((len(seqs), len(seqs) + len(bundle.reads)))
+            seqs.extend(r.cleaned_seq for r in bundle.reads)
+        at_cov = graph.median_at_least_batch(seqs, C)
+        for bundle, (lo, hi) in zip(pending, spans):
+            if at_cov[lo:hi].all():
+                continue  # every read at coverage pre-batch: drop (exact)
+            if not bundle.coverages_at_least(graph, C):
+                for record in bundle.reads:
+                    graph.consume(record.cleaned_seq)
+                    self.kept += 1
+                    yield record
+
+    def __call__(self, reader):
+        pending = []
+        for _, is_paired, read0, read1 in reader:
+            self.total += 2 if is_paired else 1
+            pending.append(ReadBundle(read0, read1))
+            if len(pending) >= self.batch:
+                yield from self._drain(pending)
+                pending = []
+        if pending:
+            yield from self._drain(pending)
+
+
+@contextmanager
+def catch_io_errors(ifile, out, single_out, force, corrupt_files):
+    """Boilerplate handling of IOErrors (reference :202-218)."""
+    try:
+        yield
+    except (IOError, OSError, ValueError) as error:
+        log_error('** ERROR: {error}', error=str(error))
+        log_error('** Failed on {name}: ', name=ifile)
+        if not single_out:
+            os.remove(out.name)
+        if not force:
+            log_error('** Exiting!')
+            sys.exit(1)
+        else:
+            log_error('*** Skipping error file, moving on...')
+            corrupt_files.append(ifile)
+
+
+def get_parser():
+    epilog = """\
+    Discard sequences based on whether or not their median k-mer abundance
+    lies above a specified cutoff. Kept sequences will be placed in
+    <fileN>.keep.
+
+    Example::
+
+        normalize-by-median.py -k 17 tests/test-data/test-abund-read-2.fa
+    """
+    parser = build_counting_args(
+        descr="Do digital normalization (remove mostly redundant sequences)",
+        epilog=textwrap.dedent(epilog),
+        citations=['diginorm'])
+    parser.add_argument('-q', '--quiet', dest='quiet', default=False,
+                        action='store_true')
+    parser.add_argument('-C', '--cutoff', help="when the median "
+                        "k-mer coverage level is above this number the "
+                        "read is not kept.",
+                        type=check_argument_range(0, 256, "cutoff"),
+                        default=DEFAULT_DESIRED_COVERAGE)
+    parser.add_argument('-p', '--paired', action='store_true',
+                        help='require that all sequences be properly paired')
+    parser.add_argument('--force_single', dest='force_single',
+                        action='store_true',
+                        help='treat all sequences as single-ended/unpaired')
+    parser.add_argument('-u', '--unpaired-reads',
+                        metavar="unpaired_reads_filename",
+                        help='include a file of unpaired reads to which '
+                        '-p/--paired does not apply.')
+    parser.add_argument('-s', '--savegraph', metavar="filename", default=None,
+                        help='save the k-mer countgraph to disk after all '
+                        'reads are loaded.')
+    parser.add_argument('-R', '--report',
+                        help='write progress report to report_filename',
+                        metavar='report_filename',
+                        type=argparse.FileType('w'))
+    parser.add_argument('--report-frequency',
+                        metavar='report_frequency', type=int, default=100000,
+                        help='report progress every report_frequency reads')
+    parser.add_argument('-f', '--force', dest='force',
+                        help='continue past file reading errors',
+                        action='store_true')
+    parser.add_argument('-o', '--output', metavar="filename",
+                        type=khFileType('wb'),
+                        default=None, dest='single_output_file',
+                        help='only output a single file with '
+                        'the specified filename; use a single dash "-" to '
+                        'specify that output should go to STDOUT (the '
+                        'terminal)')
+    parser.add_argument('input_filenames', metavar='input_sequence_filename',
+                        help='Input FAST[AQ] sequence filename.', nargs='+')
+    add_loadgraph_args(parser)
+    add_output_compression_type(parser)
+    return parser
+
+
+def main():  # pylint: disable=too-many-branches,too-many-statements
+    parser = sanitize_help(get_parser())
+    args = parser.parse_args()
+
+    configure_logging(args.quiet)
+    report_on_config(args)
+
+    report_fp = args.report
+    force_single = args.force_single
+
+    # check for duplicate output basenames
+    filenames = []
+    basenames = []
+    for pathfilename in args.input_filenames:
+        filenames.append(pathfilename)
+        if args.single_output_file:
+            continue
+        basename = os.path.basename(pathfilename)
+        if basename in basenames:
+            log_error('ERROR: Duplicate filename--Cannot handle this!')
+            log_error('** Exiting!')
+            sys.exit(1)
+        basenames.append(basename)
+
+    check_valid_file_exists(args.input_filenames)
+    check_space(args.input_filenames, args.force)
+
+    if args.savegraph is not None:
+        graphsize = calculate_graphsize(args, 'countgraph')
+        check_space_for_graph(args.savegraph, graphsize, args.force)
+
+    if args.loadgraph:
+        log_info('loading k-mer countgraph from {graph}',
+                 graph=args.loadgraph)
+        countgraph = Countgraph.load(args.loadgraph)
+    else:
+        log_info('making countgraph')
+        countgraph = khmer_args.create_countgraph(args)
+
+    norm = Normalizer(args.cutoff, countgraph)
+    if report_fp:
+        report_fp.write('total,kept,f_kept\n')
+
+    files = [[f, args.paired] for f in filenames]
+    if args.unpaired_reads:
+        files.append([args.unpaired_reads, False])
+
+    corrupt_files = []
+    outfp = None
+    output_name = None
+
+    if args.single_output_file:
+        outfp = get_file_writer(args.single_output_file, args.gzip,
+                                args.bzip)
+    else:
+        if '-' in filenames or '/dev/stdin' in filenames:
+            print("Accepting input from stdin; output filename must "
+                  "be provided with '-o'.", file=sys.stderr)
+            sys.exit(1)
+
+    for filename, require_paired in files:
+        if not args.single_output_file:
+            output_name = os.path.basename(filename) + '.keep'
+            outfp = open(output_name, 'wb')
+            outfp = get_file_writer(outfp, args.gzip, args.bzip)
+
+        total_start = norm.total
+        with catch_io_errors(filename, outfp, args.single_output_file,
+                             args.force, corrupt_files):
+            screed_iter = clean_input_reads(FastxReader(filename))
+            reader = broken_paired_reader(screed_iter,
+                                          min_length=args.ksize,
+                                          force_single=force_single,
+                                          require_paired=require_paired)
+            for record in norm(reader):
+                if record is not None:
+                    write_record(record, outfp)
+
+            if norm.total == total_start:
+                log_info('SKIPPED empty file {name}', name=filename)
+            else:
+                perc_kept = norm.kept / float(norm.total)
+                log_info('DONE with {inp}; kept {kept} of {total} or '
+                         '{perc_kept:.1%}', inp=filename, kept=norm.kept,
+                         total=norm.total, perc_kept=perc_kept)
+            if report_fp and norm.total:
+                print("{total},{kept},{f_kept:.4}".format(
+                    total=norm.total, kept=norm.kept,
+                    f_kept=norm.kept / float(norm.total)), file=report_fp)
+                report_fp.flush()
+
+            log_info('output in {name}', name=describe_file_handle(outfp))
+            if not args.single_output_file:
+                outfp.close()
+
+    log_info('Total number of unique k-mers: {umers}',
+             umers=countgraph.n_unique_kmers())
+
+    if args.savegraph is not None:
+        log_info('...saving to {name}', name=args.savegraph)
+        countgraph.save(args.savegraph)
+
+    fp_rate = \
+        khmer.calc_expected_collisions(countgraph, False, max_false_pos=.8)
+    # for max_false_pos see Zhang et al., http://arxiv.org/abs/1309.2975
+
+    log_info('fp rate estimated to be {fpr:1.3f}', fpr=fp_rate)
+
+    if args.force and len(corrupt_files) > 0:
+        log_error("** WARNING: Finished with errors!")
+        log_error("** I/O Errors occurred in the following files:")
+        log_error("\t" + " ".join(corrupt_files))
+
+
+if __name__ == '__main__':
+    main()
