@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Take a file containing a mixture of interleaved and orphaned reads,
+and extract them into separate files (.pe and .se).
+
+% scripts/extract-paired-reads.py <infile>
+
+TPU port of the reference scripts/extract-paired-reads.py (same
+CLI/outputs).
+"""
+
+import os
+import sys
+import textwrap
+
+from khmer_tpu.io.fastx import FastxReader as ReadParser
+from khmer_tpu.khmer_args import (FileType as khFileType,
+                                  KhmerArgumentParser, sanitize_help)
+from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
+                             check_space, get_file_writer)
+from khmer_tpu.utils import (broken_paired_reader, write_record,
+                             write_record_pair)
+
+
+def get_parser():
+    epilog = """\
+    Many read-handling programs (assemblers, mappers, etc.) require
+    that you give them either perfectly interleaved files, or files
+    containing only single reads. This script takes files that were
+    originally interleaved but where reads may have been orphaned (via
+    error filtering, application of abundance filtering, digital
+    normalization in non-paired mode, or partitioning) and separates
+    the interleaved reads from the orphaned reads.
+
+    Example::
+
+        extract-paired-reads.py tests/test-data/paired.fq
+    """
+    parser = KhmerArgumentParser(
+        description='Take a mixture of reads and split into pairs and '
+        'orphans.', epilog=textwrap.dedent(epilog))
+    parser.add_argument('infile', nargs='?', default='/dev/stdin')
+    parser.add_argument('-d', '--output-dir', default='', help='Output '
+                        'split reads to specified directory. Creates '
+                        'directory if necessary')
+    parser.add_argument('-p', '--output-paired', metavar="filename",
+                        type=khFileType('wb'),
+                        default=None, help='Output paired reads to this '
+                        'file')
+    parser.add_argument('-s', '--output-single', metavar="filename",
+                        type=khFileType('wb'), default=None,
+                        help='Output orphaned reads to this file')
+    parser.add_argument('-f', '--force', default=False, action='store_true',
+                        help='Overwrite output file if it exists')
+    add_output_compression_type(parser)
+    return parser
+
+
+def main():
+    args = sanitize_help(get_parser()).parse_args()
+
+    infile = args.infile
+    check_input_files(infile, args.force)
+    check_space([infile], args.force)
+
+    if infile in ('/dev/stdin', '-'):
+        if not (args.output_paired and args.output_single):
+            print("Accepting input from stdin; output filenames must be "
+                  "provided.", file=sys.stderr)
+            sys.exit(1)
+    elif args.output_dir:
+        if not os.path.exists(args.output_dir):
+            os.makedirs(args.output_dir)
+        out1 = args.output_dir + '/' + os.path.basename(infile) + '.se'
+        out2 = args.output_dir + '/' + os.path.basename(infile) + '.pe'
+    else:
+        out1 = os.path.basename(infile) + '.se'
+        out2 = os.path.basename(infile) + '.pe'
+
+    if args.output_paired:
+        paired_fp = get_file_writer(args.output_paired, args.gzip,
+                                    args.bzip)
+        out2 = paired_fp.name
+    else:
+        paired_fp = get_file_writer(open(out2, 'wb'), args.gzip, args.bzip)
+    if args.output_single:
+        single_fp = get_file_writer(args.output_single, args.gzip,
+                                    args.bzip)
+        out1 = args.output_single.name
+    else:
+        single_fp = get_file_writer(open(out1, 'wb'), args.gzip, args.bzip)
+
+    print('reading file "%s"' % infile, file=sys.stderr)
+    print('outputting interleaved pairs to "%s"' % out2, file=sys.stderr)
+    print('outputting orphans to "%s"' % out1, file=sys.stderr)
+
+    n_pe = 0
+    n_se = 0
+
+    reads = ReadParser(infile)
+    for index, is_pair, read1, read2 in broken_paired_reader(reads):
+        if index % 100000 == 0 and index > 0:
+            print('...', index, file=sys.stderr)
+
+        if is_pair:
+            write_record_pair(read1, read2, paired_fp)
+            n_pe += 1
+        else:
+            write_record(read1, single_fp)
+            n_se += 1
+
+    single_fp.close()
+    paired_fp.close()
+
+    if n_pe == 0:
+        raise Exception("no paired reads!? check file formats...")
+
+    print('DONE; read %d sequences,'
+          ' %d pairs and %d singletons' %
+          (n_pe * 2 + n_se, n_pe, n_se), file=sys.stderr)
+
+    print('wrote to: %s and %s' % (out2, out1), file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

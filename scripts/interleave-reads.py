@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Interleave left and right reads.
+
+% scripts/interleave-reads.py <R1> <R2> [ -o <outputfile> ]
+
+By default, output is sent to stdout; or use -o.  Use '-h' for
+parameter help.
+
+TPU port of the reference scripts/interleave-reads.py (same
+CLI/outputs).
+"""
+
+import sys
+import textwrap
+from itertools import zip_longest
+
+from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.khmer_args import (FileType as khFileType,
+                                  KhmerArgumentParser, sanitize_help)
+from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
+                             check_space, describe_file_handle,
+                             get_file_writer)
+from khmer_tpu.utils import (check_is_left, check_is_pair, check_is_right,
+                             write_record_pair)
+
+
+def get_parser():
+    epilog = """\
+    The output is an interleaved set of reads, with each read in <R1>
+    paired with a read in <R2>. By default, the output goes to stdout
+    unless :option:`-o`/:option:`--output` is specified.
+
+    As a "bonus", this file ensures that if read names are not already
+    formatted properly, they are reformatted consistently, such that they
+    look like the pre-1.8 Casava format (@name/1, @name/2).
+
+    Example::
+
+        interleave-reads.py tests/test-data/paired.fq.1 \\
+                tests/test-data/paired.fq.2 -o paired.fq"""
+    parser = KhmerArgumentParser(
+        description='Produce interleaved files from R1/R2 paired files',
+        epilog=textwrap.dedent(epilog))
+    parser.add_argument('left')
+    parser.add_argument('right')
+    parser.add_argument('-o', '--output', metavar="filename",
+                        type=khFileType('wb'),
+                        default=sys.stdout.buffer)
+    parser.add_argument('--no-reformat', default=False, action='store_true',
+                        help='Do not reformat read names or enforce\
+                              consistency')
+    parser.add_argument('-f', '--force', default=False, action='store_true',
+                        help='Overwrite output file if it exists')
+    add_output_compression_type(parser)
+    return parser
+
+
+def main():
+    args = sanitize_help(get_parser()).parse_args()
+
+    check_input_files(args.left, args.force)
+    check_input_files(args.right, args.force)
+    check_space([args.left, args.right], args.force)
+
+    s1_file = args.left
+    s2_file = args.right
+
+    print("Interleaving:\n\t%s\n\t%s" % (s1_file, s2_file), file=sys.stderr)
+
+    outfp = get_file_writer(args.output, args.gzip, args.bzip)
+
+    counter = 0
+    screed_iter_1 = FastxReader(s1_file)
+    screed_iter_2 = FastxReader(s2_file)
+    for read1, read2 in zip_longest(screed_iter_1, screed_iter_2):
+        if read1 is None or read2 is None:
+            print(("ERROR: Input files contain different number"
+                   " of records."), file=sys.stderr)
+            sys.exit(1)
+
+        if counter % 100000 == 0:
+            print('...', counter, 'pairs', file=sys.stderr)
+        counter += 1
+
+        name1 = read1.name
+        name2 = read2.name
+
+        if not args.no_reformat:
+            if not check_is_left(name1):
+                name1 += '/1'
+            if not check_is_right(name2):
+                name2 += '/2'
+
+            read1.name = name1
+            read2.name = name2
+
+            if not check_is_pair(read1, read2):
+                print("ERROR: This doesn't look like paired data! "
+                      "%s %s" % (read1.name, read2.name), file=sys.stderr)
+                sys.exit(1)
+
+        write_record_pair(read1, read2, outfp)
+
+    print('final: interleaved %d pairs' % counter, file=sys.stderr)
+    print('output written to', describe_file_handle(outfp), file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

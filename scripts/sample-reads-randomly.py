@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Uniformly subsample sequences from a collection of files, using
+reservoir sampling.
+
+% scripts/sample-reads-randomly.py [ -N <num_reads> ] [ -M <max_reads> ]
+  [ -S <num_samples> ] <infile>
+
+Use '-h' for parameter help.
+
+TPU port of the reference scripts/sample-reads-randomly.py (same
+CLI/outputs).
+"""
+
+import argparse
+import os
+import random
+import sys
+import textwrap
+
+from khmer_tpu.io.fastx import FastxReader as ReadParser
+from khmer_tpu.khmer_args import KhmerArgumentParser, sanitize_help
+from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
+                             check_space, get_file_writer)
+from khmer_tpu.utils import broken_paired_reader, write_record
+
+DEFAULT_NUM_READS = int(1e5)
+DEFAULT_MAX_READS = int(1e8)
+
+
+def get_parser():
+    epilog = """\
+    Take a list of files containing sequences, and subsample 100,000
+    sequences (:option:`-N`/:option:`--num_reads`) uniformly, using
+    reservoir sampling.  Stop after first 100m sequences
+    (:option:`-M`/:option:`--max_reads`). By default take one subsample,
+    but take :option:`-S`/:option:`--samples` samples if specified.
+    """
+    parser = KhmerArgumentParser(
+        description="Uniformly subsample sequences from a collection of "
+        "files", epilog=textwrap.dedent(epilog))
+    parser.add_argument('filenames', nargs='+')
+    parser.add_argument('-N', '--num_reads', type=int, dest='num_reads',
+                        default=DEFAULT_NUM_READS, help='samples the '
+                        'number of sequences or pairs specified with -N')
+    parser.add_argument('-M', '--max_reads', type=int, dest='max_reads',
+                        default=DEFAULT_MAX_READS)
+    parser.add_argument('-S', '--samples', type=int, dest='num_samples',
+                        default=1)
+    parser.add_argument('-R', '--random-seed', type=int, dest='random_seed',
+                        help='Provide a random seed for the generator')
+    parser.add_argument('--force_single', default=False, action='store_true',
+                        help='Ignore read pair information if present')
+    parser.add_argument('-o', '--output', dest='output_file',
+                        type=argparse.FileType('wb'),
+                        metavar="filename", default=None)
+    parser.add_argument('-f', '--force', default=False, action='store_true',
+                        help='Overwrite output file if it exits')
+    add_output_compression_type(parser)
+    return parser
+
+
+def main():
+    args = sanitize_help(get_parser()).parse_args()
+
+    for name in args.filenames:
+        check_input_files(name, args.force)
+
+    check_space(args.filenames, args.force)
+
+    if args.random_seed:
+        random.seed(args.random_seed)
+
+    num_samples = args.num_samples
+
+    # figure out the output filename
+    if args.output_file:
+        output_filename = args.output_file.name
+        if num_samples > 1:
+            sys.stderr.write(
+                "Error: cannot specify -o with more than one sample.")
+            if not args.force:
+                print("NOTE: This can be overridden using the --force"
+                      " argument", file=sys.stderr)
+                sys.exit(1)
+    else:
+        filename = args.filenames[0]
+        if filename in ('/dev/stdin', '-'):
+            print("Accepting input from stdin; output filename must "
+                  "be provided with '-o'.", file=sys.stderr)
+            sys.exit(1)
+        output_filename = os.path.basename(filename) + '.subset'
+
+    if num_samples == 1:
+        print('Subsampling %d reads using reservoir sampling.' %
+              args.num_reads, file=sys.stderr)
+        print('Subsampled reads will be placed in %s' %
+              output_filename, file=sys.stderr)
+    else:
+        print('Subsampling %d reads, %d times,'
+              % (args.num_reads, num_samples),
+              ' using reservoir sampling.', file=sys.stderr)
+        print('Subsampled reads will be placed in %s.N'
+              % output_filename, file=sys.stderr)
+    print('', file=sys.stderr)
+
+    reads = [[] for _ in range(num_samples)]
+
+    # read through all the sequences and load/resample the reservoir
+    for filename in args.filenames:
+        print('opening', filename, 'for reading', file=sys.stderr)
+
+        for count, (_, _, rcrd1, rcrd2) in enumerate(broken_paired_reader(
+                ReadParser(filename), force_single=args.force_single)):
+            if count % 10000 == 0:
+                print('...', count, 'reads scanned', file=sys.stderr)
+                if count >= args.max_reads:
+                    print('reached upper limit of %d reads' %
+                          args.max_reads, '(see -M); exiting',
+                          file=sys.stderr)
+                    break
+
+            if count < args.num_reads:
+                for sample in range(num_samples):
+                    reads[sample].append((rcrd1, rcrd2))
+            else:
+                # reservoir sampling
+                for n in range(num_samples):
+                    guess = random.randint(1, count)
+                    if guess <= args.num_reads:
+                        reads[n][guess - 1] = (rcrd1, rcrd2)
+
+    # output all the subsampled reads:
+    if len(reads) == 1:
+        print('Writing %d sequences to %s' %
+              (len(reads[0]), output_filename), file=sys.stderr)
+
+        output_file = args.output_file
+        if not output_file:
+            output_file = open(output_filename, 'wb')
+
+        output_file = get_file_writer(output_file, args.gzip, args.bzip)
+
+        for records in reads[0]:
+            write_record(records[0], output_file)
+            if records[1] is not None:
+                write_record(records[1], output_file)
+    else:
+        for n in range(num_samples):
+            n_filename = output_filename + '.%d' % n
+            print('Writing %d sequences to %s' %
+                  (len(reads[n]), n_filename), file=sys.stderr)
+            output_file = get_file_writer(open(n_filename, 'wb'),
+                                          args.gzip, args.bzip)
+            for records in reads[n]:
+                write_record(records[0], output_file)
+                if records[1] is not None:
+                    write_record(records[1], output_file)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Split interleaved reads into two files, left and right.
+
+% scripts/split-paired-reads.py <infile>
+
+Reads FASTQ and FASTA input, retains format for output.
+
+TPU port of the reference scripts/split-paired-reads.py (same
+CLI/outputs).
+"""
+
+import os
+import sys
+import textwrap
+
+from khmer_tpu.io.fastx import FastxReader as ReadParser
+from khmer_tpu.khmer_args import (FileType as khFileType,
+                                  KhmerArgumentParser, sanitize_help)
+from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
+                             check_space, describe_file_handle,
+                             get_file_writer)
+from khmer_tpu.utils import (UnpairedReadsError, broken_paired_reader,
+                             write_record)
+
+
+def get_parser():
+    epilog = """\
+    Some programs want paired-end read input in the One True Format, which
+    is interleaved; other programs want input in the Insanely Bad Format,
+    with left- and right- reads separated. This reformats the former to
+    the latter.
+
+    Example::
+
+        split-paired-reads.py tests/test-data/paired.fq"""
+    parser = KhmerArgumentParser(
+        description='Split interleaved reads into two files, left and '
+        'right.', epilog=textwrap.dedent(epilog))
+    parser.add_argument('infile', nargs='?', default='/dev/stdin')
+    parser.add_argument('-d', '--output-dir', metavar="output_directory",
+                        dest='output_directory', default='', help='Output '
+                        'split reads to specified directory. Creates '
+                        'directory if necessary')
+    parser.add_argument('-0', '--output-orphaned', metavar='output_orphaned',
+                        help='Allow "orphaned" reads and extract them to '
+                        'this file',
+                        type=khFileType('wb'))
+    parser.add_argument('-1', '--output-first', metavar='output_first',
+                        default=None, help='Output "left" reads to this '
+                        'file', type=khFileType('wb'))
+    parser.add_argument('-2', '--output-second', metavar='output_second',
+                        default=None, help='Output "right" reads to this '
+                        'file', type=khFileType('wb'))
+    parser.add_argument('-f', '--force', default=False, action='store_true',
+                        help='Overwrite output file if it exists')
+    add_output_compression_type(parser)
+    return parser
+
+
+def main():
+    args = sanitize_help(get_parser()).parse_args()
+
+    infile = args.infile
+
+    filenames = [infile]
+    check_input_files(infile, args.force)
+    check_space(filenames, args.force)
+
+    basename = os.path.basename(infile)
+
+    if infile in ('/dev/stdin', '-'):
+        if not (args.output_first and args.output_second):
+            print("Accepting input from stdin; "
+                  "output filenames must be provided.", file=sys.stderr)
+            sys.exit(1)
+    elif args.output_directory:
+        if not os.path.exists(args.output_directory):
+            os.makedirs(args.output_directory)
+        out1 = os.path.join(args.output_directory, basename + '.1')
+        out2 = os.path.join(args.output_directory, basename + '.2')
+    else:
+        out1 = basename + '.1'
+        out2 = basename + '.2'
+
+    if args.output_first:
+        fp_out1 = get_file_writer(args.output_first, args.gzip, args.bzip)
+        out1 = fp_out1.name
+    else:
+        fp_out1 = get_file_writer(open(out1, 'wb'), args.gzip, args.bzip)
+    if args.output_second:
+        fp_out2 = get_file_writer(args.output_second, args.gzip, args.bzip)
+        out2 = fp_out2.name
+    else:
+        fp_out2 = get_file_writer(open(out2, 'wb'), args.gzip, args.bzip)
+
+    if args.output_orphaned:
+        fp_out0 = get_file_writer(args.output_orphaned, args.gzip, args.bzip)
+        out0 = describe_file_handle(args.output_orphaned)
+
+    counter1 = 0
+    counter2 = 0
+    counter3 = 0
+    index = None
+
+    paired_iter = broken_paired_reader(
+        ReadParser(infile), require_paired=not args.output_orphaned)
+
+    try:
+        for index, is_pair, record1, record2 in paired_iter:
+            if index % 10000 == 0:
+                print('...', index, file=sys.stderr)
+
+            if is_pair:
+                write_record(record1, fp_out1)
+                counter1 += 1
+                write_record(record2, fp_out2)
+                counter2 += 1
+            elif args.output_orphaned:
+                write_record(record1, fp_out0)
+                counter3 += 1
+    except UnpairedReadsError as e:
+        print("Unpaired reads found starting at {name}; exiting".format(
+            name=e.read1.name), file=sys.stderr)
+        sys.exit(1)
+
+    print("DONE; split %d sequences (%d left, %d right, %d orphans)" %
+          (counter1 + counter2, counter1, counter2, counter3),
+          file=sys.stderr)
+    print("/1 reads in %s" % out1, file=sys.stderr)
+    print("/2 reads in %s" % out2, file=sys.stderr)
+    if args.output_orphaned:
+        print("orphans in %s" % out0, file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
