@@ -116,10 +116,20 @@ def _chunk_hashes_weights(data, weights, k, hash_kind, payload):
 
 
 @lru_cache(maxsize=None)
-def _make_consume_fn(spec, k, hash_kind, masked, banded):
-    """Fused hash+scatter update kernel over a flat chunk."""
+def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False):
+    """Fused hash+scatter update kernel over a flat chunk.
+
+    from_codes: the chunk carries 2-bit codes (native loader output)
+    rather than ASCII bytes; only relevant for the murmur path."""
 
     def fn(table, occ, uniq, data, weights, *extra):
+        if from_codes and hash_kind != "2bit":
+            # decode codes -> ASCII for byte-stream hashing
+            data = jnp.where(
+                data == 0, np.uint8(65),
+                jnp.where(data == 1, np.uint8(84),
+                          jnp.where(data == 2, np.uint8(67),
+                                    np.uint8(71))))
         hashes, w = _chunk_hashes_weights(
             data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
         i = 0
@@ -459,8 +469,55 @@ class Hashtable:
     def consume_seqfile(self, parser_or_filename):
         """Count every k-mer from every (cleaned) read in a file.
 
-        Parity: Hashtable::consume_seqfile, src/oxli/hashtable.cc:133-158."""
+        Parity: Hashtable::consume_seqfile, src/oxli/hashtable.cc:133-158.
+        Uses the native C++ loader (parse+clean+encode+batch) when
+        available; falls back to the python parser otherwise."""
+        if self._can_use_native(parser_or_filename):
+            try:
+                return self._consume_native(parser_or_filename)
+            except (RuntimeError, OSError, ValueError):
+                pass
         return self._run_consume(self._reads(parser_or_filename))
+
+    @staticmethod
+    def _can_use_native(parser_or_filename):
+        if not isinstance(parser_or_filename, str):
+            return False
+        if parser_or_filename in ("-", "/dev/stdin"):
+            return False
+        try:
+            with open(parser_or_filename, "rb") as f:
+                if f.read(3) == b"BZh":  # no native bzip2 path
+                    return False
+        except OSError:
+            return False
+        from khmer_tpu.native import native_available
+
+        return native_available()
+
+    def _consume_native(self, filename):
+        """Bulk consume through the C++ chunk loader."""
+        from khmer_tpu.native import NativeChunkReader
+
+        st = self.storage
+        fn = _make_consume_fn(st._read_spec(), self._ksize,
+                              self.hash_kind, None, False, from_codes=True)
+        reader = NativeChunkReader(filename, self._ksize, CHUNK)
+        table, uniq = st.table, st._n_unique
+        occ = jnp.zeros((), U64)
+        auxes = []
+        for data, weights in reader:
+            table, occ, uniq, aux = fn(
+                table, occ, uniq, jnp.asarray(data), jnp.asarray(weights))
+            if st.get_use_bigcount() and "bigcount_hashes" in aux:
+                auxes.append(aux)
+        st.table, st._n_unique = table, uniq
+        st._loaded_occupied = None
+        for aux in auxes:
+            st._track_bigcount_aux(aux)
+        n_reads, n_consumed, _ = reader.stats()
+        reader.close()
+        return int(n_reads), int(n_consumed)
 
     def consume_seqfile_with_mask(self, parser_or_filename, mask,
                                   threshold=0):
