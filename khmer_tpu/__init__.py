@@ -39,6 +39,8 @@ from khmer_tpu.graph import (
 )
 from khmer_tpu.hllcounter import HLLCounter
 from khmer_tpu.hashset import HashSet
+from khmer_tpu.readaligner import ReadAligner
+from khmer_tpu.labeling import GraphLabels
 
 # khmer exposes the ReadParser name for multi-threaded parsing; on TPU the
 # parser feeds device batches, one stream per host process.

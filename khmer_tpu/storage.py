@@ -190,6 +190,27 @@ class Storage:
 
     get_count = get
 
+    # -- host-side snapshot reads (for pointer-chasing algorithms) --------
+
+    _host_table = None
+    _host_version = None
+
+    def host_counts(self, hashes):
+        """Counts computed against a host numpy snapshot of the table —
+        for algorithms that need thousands of tiny random lookups (the
+        ReadAligner's A* search) where per-query device round trips
+        dominate.  The snapshot refreshes whenever the device table
+        object changes."""
+        if self._host_table is None or self._host_version is not self.table:
+            self._host_table = np.asarray(self.table)
+            self._host_version = self.table
+        h = np.asarray(hashes, np.uint64).reshape(-1)
+        sizes = np.asarray(self.spec.tablesizes, np.uint64)
+        offs = np.asarray(self.spec.bin_offsets, np.int64)
+        idx = (h[None, :] % sizes[:, None]).astype(np.int64) + offs[:, None]
+        tot = self._host_table[idx].min(axis=0)
+        return np.minimum(tot, self._read_spec().read_cap)
+
     # -- host access ------------------------------------------------------
 
     def raw_bytes(self):
