@@ -29,9 +29,12 @@ from khmer_tpu.io.fastx import Read, FastxReader
 from khmer_tpu.io.oxli_format import FILETYPES
 from khmer_tpu.hashtable import (
     Counttable,
+    CyclicCounttable,
+    QFCounttable,
     SmallCounttable,
     Nodetable,
 )
+from khmer_tpu.kmer import Kmer
 from khmer_tpu.graph import (
     Countgraph,
     SmallCountgraph,

@@ -737,6 +737,40 @@ class Counttable(Hashtable):
     hash_kind = "murmur"
 
 
+class CyclicCounttable(Hashtable):
+    """Counttable over a rolling-hash table (graphs.pyx:477-491).
+
+    The reference hashes with Lemire's CyclicHash character tables
+    (third-party/rollinghash); this port hashes the same window bytes
+    with murmur — identical API, table geometry, and save format, but
+    hash values are not bit-identical to the reference's rollinghash
+    constants (both are irreversible, unbounded-k hash functions)."""
+
+    storage_class = ByteStorage
+    hash_kind = "murmur"
+
+
+class QFCounttable(Hashtable):
+    """Quotient-filter-style counttable (graphs.pyx:413-452).
+
+    The reference wraps the CQF (third-party/cqf/gqf.c); here the
+    counting semantics are served by the shared uint32-bin engine with
+    a single power-of-two table (the CQF's slot count), murmur-hashed.
+    Counting behavior is API-compatible; the on-disk format uses the
+    shared OXLI byte layout rather than a raw qf struct dump."""
+
+    storage_class = ByteStorage
+    hash_kind = "murmur"
+
+    def __init__(self, k, size):
+        size = int(size)
+        if size & (size - 1):
+            # round up to the next power of two (reference rounds the
+            # number of slots to 2^ceil(log2(size)))
+            size = 1 << (size - 1).bit_length()
+        super().__init__(k, primes=[size])
+
+
 class SmallCounttable(Hashtable):
     """4-bit Count-Min sketch with murmur hashing."""
 
