@@ -28,6 +28,7 @@ from khmer_tpu.primes import get_n_primes_near_x, is_prime
 from khmer_tpu.io.fastx import Read, FastxReader
 from khmer_tpu.io.oxli_format import FILETYPES
 from khmer_tpu.hashtable import (
+    BufferedQFCounttable,
     Counttable,
     CyclicCounttable,
     QFCounttable,

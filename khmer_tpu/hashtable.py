@@ -762,13 +762,71 @@ class QFCounttable(Hashtable):
     storage_class = ByteStorage
     hash_kind = "murmur"
 
-    def __init__(self, k, size):
+    def __init__(self, k, size, slot_size=None):
         size = int(size)
         if size & (size - 1):
             # round up to the next power of two (reference rounds the
             # number of slots to 2^ceil(log2(size)))
             size = 1 << (size - 1).bit_length()
+        self.slot_size = slot_size  # MQF fixed-counter width (fork N5)
         super().__init__(k, primes=[size])
+
+
+class BufferedQFCounttable(QFCounttable):
+    """The fork's buffered MQF (reference third-party/MQF/bufferedMQF.h:
+    35-45; python class lost in the reference graft, API reconstructed
+    from its use at scripts/normalize-by-median.py:155-172,421-422).
+
+    `addToBufferQuery` collects read sequences; `queryBuffer` resolves
+    every buffered k-mer's count in ONE device batch; subsequent
+    per-read queries are served from the host cache until
+    `clearQueryBuffer`.  On TPU this is the native access pattern — the
+    class exists so fork-era scripts using --bmqf run unchanged."""
+
+    def __init__(self, k, size, slot_size=None):
+        super().__init__(k, size, slot_size)
+        self._query_buffer = []
+        self._query_cache = {}
+
+    def addToBufferQuery(self, sequence):
+        self._query_buffer.append(sequence)
+
+    def queryBuffer(self):
+        seqs = [s for s in self._query_buffer if len(s) >= self._ksize]
+        if not seqs:
+            return
+        hashes = [self._hash_array(s) for s in seqs]
+        flat = np.concatenate(hashes)
+        counts = self.storage.get_batch(flat)
+        self._query_cache.update(
+            (int(h), int(c)) for h, c in zip(flat, counts))
+
+    def clearQueryBuffer(self):
+        self._query_buffer = []
+        self._query_cache = {}
+
+    def get_kmer_counts(self, sequence):
+        cache = self._query_cache
+        if cache:
+            hashes = self._hash_array(sequence)
+            if all(int(h) in cache for h in hashes):
+                return [cache[int(h)] for h in hashes]
+        return super().get_kmer_counts(sequence)
+
+    def get_median_count(self, sequence):
+        counts = np.asarray(self.get_kmer_counts(sequence), np.float64)
+        if counts.size == 0:
+            raise ValueError("no k-mer counts for this string; too short?")
+        avg = float(counts.mean())
+        stddev = float(math.sqrt(((counts - avg) ** 2).mean()))
+        med = int(np.sort(counts)[counts.size // 2])
+        return med, avg, stddev
+
+    def median_at_least(self, sequence, cutoff):
+        counts = np.asarray(self.get_kmer_counts(sequence))
+        n = counts.size
+        min_req = int(0.5 + n / 2.0)
+        return bool((counts >= cutoff).sum() >= min_req)
 
 
 class SmallCounttable(Hashtable):

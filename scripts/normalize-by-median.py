@@ -84,6 +84,29 @@ class Normalizer(object):
             yield from self._drain(pending)
 
 
+def BufferedReader(reader, bufferedCountTable, numReads):
+    """Fork-era batched pre-query wrapper (reference normalize-by-median
+    .py:155-172): buffer numReads' k-mers, resolve them in one bulk
+    queryBuffer, then stream the reads."""
+    reads = []
+    for i, is_paired, read0, read1 in reader:
+        bufferedCountTable.addToBufferQuery(read0.cleaned_seq)
+        if is_paired:
+            bufferedCountTable.addToBufferQuery(read1.cleaned_seq)
+        reads.append([i, is_paired, read0, read1])
+        if len(reads) == numReads:
+            bufferedCountTable.queryBuffer()
+            for r in reads:
+                yield r[0], r[1], r[2], r[3]
+            bufferedCountTable.clearQueryBuffer()
+            reads = []
+    if reads:
+        bufferedCountTable.queryBuffer()
+        for r in reads:
+            yield r[0], r[1], r[2], r[3]
+        bufferedCountTable.clearQueryBuffer()
+
+
 @contextmanager
 def catch_io_errors(ifile, out, single_out, force, corrupt_files):
     """Boilerplate handling of IOErrors (reference :202-218)."""
@@ -156,6 +179,10 @@ def get_parser():
                         help='Input FAST[AQ] sequence filename.', nargs='+')
     add_loadgraph_args(parser)
     add_output_compression_type(parser)
+    parser.add_argument('--mqf', dest='mqf', default=False,
+                        action='store_true')
+    parser.add_argument('--bmqf', dest='bmqf', default=False,
+                        action='store_true')
     return parser
 
 
@@ -194,6 +221,8 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
         log_info('loading k-mer countgraph from {graph}',
                  graph=args.loadgraph)
         countgraph = Countgraph.load(args.loadgraph)
+    elif args.mqf or args.bmqf:
+        countgraph = khmer_args.create_MQFGraph(args)
     else:
         log_info('making countgraph')
         countgraph = khmer_args.create_countgraph(args)
