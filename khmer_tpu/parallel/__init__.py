@@ -28,3 +28,8 @@ from khmer_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_query,
     merge_tables_saturating,
 )
+from khmer_tpu.parallel.multihost import (  # noqa: F401
+    distributed_count,
+    initialize,
+    shard_files_for_host,
+)

@@ -89,6 +89,24 @@ def test_band_owner_partition():
     assert owners.min() >= 0 and owners.max() < 5
 
 
+def test_distributed_count_matches_serial(ref_test_data):
+    _need_devices(8)
+    from khmer_tpu.graph import Countgraph
+    from khmer_tpu.native import native_available
+    from khmer_tpu.parallel.multihost import distributed_count
+
+    if not native_available():
+        pytest.skip("native loader not built")
+    infile = ref_test_data + "/100-reads.fq.gz"
+    spec = SketchSpec("byte", tuple(get_n_primes_near_x(3, 100000)), True)
+    c = distributed_count([infile], spec, 20, chunk=4096)
+    g = Countgraph(20, primes=list(spec.tablesizes))
+    g.consume_seqfile(infile)
+    assert c.n_dropped == 0
+    assert c.n_unique_kmers() == g.n_unique_kmers()
+    assert np.array_equal(c.merged_table(), np.asarray(g.storage.table))
+
+
 def test_merge_is_plain_sum():
     spec = SketchSpec("byte", (101,), True)
     t = jnp.ones((2, 2, spec.total_bins + 1), jnp.uint32)
