@@ -116,15 +116,52 @@ class Hashgraph(Hashtable):
                 found_tags.add(h)
 
     def consume_seqfile_and_tag(self, parser_or_filename):
-        """Consume every read and tag (hashgraph.cc:432-460)."""
+        """Consume every read and tag (hashgraph.cc:432-460).
+
+        Reads are consumed in ~256-read batches: one padded device call
+        hashes and counts a whole batch (per-lane pre-batch "was new"
+        flags come back), and the sequential tag rule runs host-side on
+        those flags — bit-equivalent to per-read consumption because a
+        hash's first batch occurrence is new iff its pre-batch min was
+        zero."""
         n_reads = 0
         n_consumed = 0
+        pending = []
+        B = 256
         for read in self._reads(parser_or_filename):
             seq = read.cleaned_seq
             n_reads += 1
-            if len(seq) >= self._ksize:
-                n_consumed += self.consume_and_tag(seq)
+            if len(seq) < self._ksize:
+                continue
+            pending.append(seq)
+            if len(pending) >= B:
+                n_consumed += self._consume_and_tag_batch(pending)
+                pending = []
+        if pending:
+            n_consumed += self._consume_and_tag_batch(pending)
         return n_reads, n_consumed
+
+    def _consume_and_tag_batch(self, seqs, found_tags=None):
+        """Batched consume_sequence_and_tag over several reads."""
+        hash_rows = self._hash_rows(seqs)
+        flat = np.concatenate(hash_rows) if hash_rows else \
+            np.zeros(0, np.uint64)
+        if flat.size == 0:
+            return 0
+        premin_new = np.asarray(self.storage.add_batch(flat))
+        # sequential semantics across the whole batch: only a hash's
+        # first occurrence can be "new"
+        _, first_idx = np.unique(flat, return_index=True)
+        isnew = np.zeros(flat.size, bool)
+        isnew[first_idx] = True
+        isnew &= premin_new
+        n_consumed = int(isnew.sum())
+        off = 0
+        for hashes in hash_rows:
+            self._tag_from_hashes(hashes, isnew[off: off + hashes.size],
+                                  found_tags)
+            off += hashes.size
+        return n_consumed
 
     # -- tag/stoptag persistence -------------------------------------------
 

@@ -192,6 +192,18 @@ def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind, want_lanes):
 
 
 @lru_cache(maxsize=None)
+def _make_row_hashes_fn(k, hash_kind):
+    def fn(data, lengths):
+        if hash_kind == "2bit":
+            h, _ = kmer_hashes_2bit(data, lengths, k)
+        else:
+            h, _ = kmer_hashes_murmur_bytes(data, lengths, k)
+        return h
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def _make_median_at_least_fn(spec, k, hash_kind):
     """Batched median_at_least (hashtable.cc:341-370): per row, true
     when #(counts >= cutoff) >= int(0.5 + n/2)."""
@@ -376,6 +388,33 @@ class Hashtable:
         fn = _make_hashes_fn(self._ksize, self.hash_kind)
         hashes = np.asarray(fn(jnp.asarray(data)))
         return hashes[: n - self._ksize + 1]
+
+    def _hash_rows(self, sequences):
+        """Per-sequence k-mer hash arrays for a batch of sequences,
+        computed in ONE padded device call (shapes bucketed to bound
+        recompilation)."""
+        k = self._ksize
+        enc_rows = [self._encode(s) for s in sequences]
+        n = len(enc_rows)
+        if n == 0:
+            return []
+        L = max(r.shape[0] for r in enc_rows)
+        L = max(-(-L // 64) * 64 + k, 64 + k)
+        B = 1
+        while B < n:
+            B *= 2
+        data = np.zeros((B, L), np.uint8)
+        lengths = np.zeros(B, np.int32)
+        for i, r in enumerate(enc_rows):
+            data[i, : r.shape[0]] = r
+            lengths[i] = r.shape[0]
+        fn = _make_row_hashes_fn(k, self.hash_kind)
+        hashes = np.asarray(fn(jnp.asarray(data), jnp.asarray(lengths)))
+        out = []
+        for i, r in enumerate(enc_rows):
+            w = r.shape[0] - k + 1
+            out.append(hashes[i, : max(w, 0)])
+        return out
 
     def get_kmers(self, sequence):
         """All k-mer substrings, in order."""

@@ -77,6 +77,15 @@ class SubsetPartition:
         tagged = [set() for _ in range(n)]
         aborted = [False] * n
 
+        # vectorized membership: sorted host arrays for the big sets
+        tags_arr = np.fromiter((int(t) for t in all_tags), np.uint64,
+                               len(all_tags))
+        tags_arr.sort()
+        stops_arr = np.fromiter((int(t) for t in stop_tags), np.uint64,
+                                len(stop_tags)) if stop_tags else \
+            np.zeros(0, np.uint64)
+        stops_arr.sort()
+
         fs, rs, sids = [], [], []
         for s, h in enumerate(seeds):
             f, r = fr_from_hash(int(h), k)
@@ -91,6 +100,16 @@ class SubsetPartition:
         breadth = 0
         while cf.size:
             canon = np.minimum(cf, cr)
+            is_tag = np.zeros(canon.shape[0], bool)
+            if not first_level and tags_arr.size:
+                pos = np.searchsorted(tags_arr, canon)
+                pos[pos >= tags_arr.size] = 0
+                is_tag = tags_arr[pos] == canon
+            is_stop = np.zeros(canon.shape[0], bool)
+            if break_on_stop_tags and stops_arr.size:
+                pos = np.searchsorted(stops_arr, canon)
+                pos[pos >= stops_arr.size] = 0
+                is_stop = stops_arr[pos] == canon
             expand_rows = []
             for i in range(canon.shape[0]):
                 s = int(sid[i])
@@ -104,10 +123,10 @@ class SubsetPartition:
                 c = int(canon[i])
                 if c in keepers[s]:
                     continue
-                if break_on_stop_tags and c in stop_tags:
+                if is_stop[i]:
                     continue
                 keepers[s].add(c)
-                if not first_level and c in all_tags:
+                if is_tag[i]:
                     tagged[s].add(c)
                     continue
                 if breadth >= max_breadth:
@@ -376,33 +395,48 @@ class SubsetPartition:
 
         n_partitions = set()
         n_singletons = 0
-        with open(outputfile, "w") as out:
-            for read in FastxReader(infilename):
-                seq = read.cleaned_seq
-                if len(seq) < self.graph.ksize():
-                    continue
-                hashes = self.graph._hash_array(seq)
+
+        # sorted key array for vectorized first-tag lookup
+        keys = np.fromiter((int(t) for t in self.partition_map), np.uint64,
+                           len(self.partition_map))
+        keys.sort()
+
+        def flush(batch, out):
+            nonlocal n_singletons
+            rows = self.graph._hash_rows([r.cleaned_seq for r in batch])
+            for read, hashes in zip(batch, rows):
                 partition_id = 0
-                found_tag = False
-                for h in hashes:
-                    h = int(h)
-                    if h in self.partition_map:
-                        found_tag = True
-                        pid = self.partition_map[h]
+                if keys.size and hashes.size:
+                    pos = np.searchsorted(keys, hashes)
+                    pos[pos >= keys.size] = 0
+                    hits = np.flatnonzero(keys[pos] == hashes)
+                    if hits.size:
+                        pid = self.partition_map[int(hashes[hits[0]])]
                         if pid is None:
-                            partition_id = 0
                             n_singletons += 1
                         else:
                             partition_id = pid
                             n_partitions.add(pid)
-                        break
                 if partition_id > 0 or output_unassigned:
+                    seq = read.cleaned_seq
                     if read.quality is not None:
                         out.write("@%s\t%d\n%s\n+\n%s\n" % (
                             read.name, partition_id, seq, read.quality))
                     else:
                         out.write(">%s\t%d\n%s\n" % (
                             read.name, partition_id, seq))
+
+        with open(outputfile, "w") as out:
+            batch = []
+            for read in FastxReader(infilename):
+                if len(read.cleaned_seq) < self.graph.ksize():
+                    continue
+                batch.append(read)
+                if len(batch) >= 256:
+                    flush(batch, out)
+                    batch = []
+            if batch:
+                flush(batch, out)
         return len(n_partitions)
 
     # -- sweep (annotate arbitrary reads by neighborhood) ------------------
