@@ -42,7 +42,20 @@ BATCH = 512
 
 
 class Normalizer(object):
-    """Digital normalization with exact batched pre-screening."""
+    """Digital normalization, batched without changing the sequential
+    semantics:
+
+    * one device call median-screens the whole batch against the
+      pre-batch sketch.  Bundles already at coverage are dropped — exact,
+      because counts only grow.
+    * a below-coverage bundle whose k-mers do NOT overlap any read kept
+      earlier in the batch sees exactly the pre-batch counts in the
+      sequential algorithm too, so the stale verdict is exact and its
+      consume commutes; kept reads accumulate into one deferred batched
+      consume.
+    * only bundles that DO overlap an earlier kept read force the
+      deferred consumes to flush and fall back to a live query.
+    """
 
     def __init__(self, desired_coverage, countgraph, batch=BATCH):
         self.countgraph = countgraph
@@ -51,10 +64,18 @@ class Normalizer(object):
         self.total = 0
         self.kept = 0
 
+    def _flush_consumes(self, pending_seqs):
+        if not pending_seqs:
+            return
+        import numpy as np
+
+        graph = self.countgraph
+        rows = graph._hash_rows(pending_seqs)
+        flat = np.concatenate(rows)
+        graph.storage.add_batch(flat)
+        pending_seqs.clear()
+
     def _drain(self, pending):
-        """Decide a batch: one device call screens out bundles whose
-        every read is already at coverage; survivors get the exact
-        sequential treatment."""
         graph = self.countgraph
         C = self.desired_coverage
         seqs = []
@@ -62,15 +83,42 @@ class Normalizer(object):
         for bundle in pending:
             spans.append((len(seqs), len(seqs) + len(bundle.reads)))
             seqs.extend(r.cleaned_seq for r in bundle.reads)
-        at_cov = graph.median_at_least_batch(seqs, C)
-        for bundle, (lo, hi) in zip(pending, spans):
+        import numpy as np
+
+        hash_rows = graph._hash_rows(seqs)
+        at_cov = np.array(graph.median_at_least_batch(seqs, C))
+
+        # `seen` tracks k-mers of keeps whose verdicts postdate the
+        # last screen: overlap with it is the only way a screen result
+        # can be stale.  On overlap, flush the deferred consumes and
+        # re-screen the remaining tail in one device call — the scan
+        # continues with fresh (exact) verdicts.
+        seen = set()
+        pending_seqs = []
+        i = 0
+        n = len(pending)
+        while i < n:
+            bundle = pending[i]
+            lo, hi = spans[i]
             if at_cov[lo:hi].all():
-                continue  # every read at coverage pre-batch: drop (exact)
-            if not bundle.coverages_at_least(graph, C):
-                for record in bundle.reads:
-                    graph.consume(record.cleaned_seq)
-                    self.kept += 1
-                    yield record
+                i += 1
+                continue  # at coverage as of last screen: drop (monotone)
+            rows = hash_rows[lo:hi]
+            if seen and any(int(h) in seen for row in rows for h in row):
+                self._flush_consumes(pending_seqs)
+                seen.clear()
+                tail_lo = spans[i][0]
+                at_cov[tail_lo:] = graph.median_at_least_batch(
+                    seqs[tail_lo:], C)
+                continue  # re-decide this bundle with fresh flags
+            # verdict is exact: keep (some read below C at last screen)
+            for record, row in zip(bundle.reads, rows):
+                pending_seqs.append(record.cleaned_seq)
+                seen.update(int(h) for h in row)
+                self.kept += 1
+                yield record
+            i += 1
+        self._flush_consumes(pending_seqs)
 
     def __call__(self, reader):
         pending = []
