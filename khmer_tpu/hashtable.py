@@ -204,6 +204,18 @@ def _make_row_hashes_fn(k, hash_kind):
 
 
 @lru_cache(maxsize=None)
+def _make_row_hashes_counts_fn(spec, k, hash_kind):
+    def fn(table, data, lengths):
+        if hash_kind == "2bit":
+            h, _ = kmer_hashes_2bit(data, lengths, k)
+        else:
+            h, _ = kmer_hashes_murmur_bytes(data, lengths, k)
+        return h, sketch_get(spec, table, h)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def _make_median_at_least_fn(spec, k, hash_kind):
     """Batched median_at_least (hashtable.cc:341-370): per row, true
     when #(counts >= cutoff) >= int(0.5 + n/2)."""
@@ -414,6 +426,36 @@ class Hashtable:
         for i, r in enumerate(enc_rows):
             w = r.shape[0] - k + 1
             out.append(hashes[i, : max(w, 0)])
+        return out
+
+    def _hash_count_rows(self, sequences):
+        """Per-sequence (hashes, counts) pairs for a batch of
+        sequences, resolved in ONE device call."""
+        k = self._ksize
+        enc_rows = [self._encode(s) for s in sequences]
+        n = len(enc_rows)
+        if n == 0:
+            return []
+        L = max(r.shape[0] for r in enc_rows)
+        L = max(-(-L // 64) * 64 + k, 64 + k)
+        B = 1
+        while B < n:
+            B *= 2
+        data = np.zeros((B, L), np.uint8)
+        lengths = np.zeros(B, np.int32)
+        for i, r in enumerate(enc_rows):
+            data[i, : r.shape[0]] = r
+            lengths[i] = r.shape[0]
+        fn = _make_row_hashes_counts_fn(self.storage._read_spec(), k,
+                                        self.hash_kind)
+        hashes, counts = fn(self.storage.table, jnp.asarray(data),
+                            jnp.asarray(lengths))
+        hashes = np.asarray(hashes)
+        counts = np.asarray(counts)
+        out = []
+        for i, r in enumerate(enc_rows):
+            w = max(r.shape[0] - k + 1, 0)
+            out.append((hashes[i, :w], counts[i, :w]))
         return out
 
     def get_kmers(self, sequence):

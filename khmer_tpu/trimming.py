@@ -1,7 +1,46 @@
 """Read trimming on k-mer abundance (parity: reference
 khmer/trimming.py:65-95)."""
 
+import numpy as np
+
 from khmer_tpu.io.fastx import Read
+
+
+def trim_record_from_counts(ksize, record, counts, cutoff,
+                            variable_coverage=False, normalize_to=None):
+    """trim_record computed from pre-fetched k-mer counts (one device
+    batch serves many records); identical decision logic."""
+    counts = np.asarray(counts)
+    n = counts.size
+    if variable_coverage:
+        min_req = int(0.5 + n / 2.0)
+        if (counts >= normalize_to).sum() < min_req:
+            return record, False
+
+    # trim_on_abundance/_trim_where logic (hashtable.cc:503-570)
+    seq = record.sequence
+    if n == 1:
+        trim_at = 0
+    else:
+        bad = np.nonzero(counts < cutoff)[0]
+        if bad.size == 0:
+            trim_at = len(seq)
+        elif bad[0] == 0:
+            trim_at = 0
+        else:
+            trim_at = int(bad[0]) + ksize - 1
+
+    if trim_at < ksize:
+        return None, True
+    if trim_at == len(seq):
+        return record, False
+    quality = getattr(record, "quality", None)
+    if quality is not None:
+        trim_rec = Read(name=record.name, sequence=seq[:trim_at],
+                        quality=quality[:trim_at])
+    else:
+        trim_rec = Read(name=record.name, sequence=seq[:trim_at])
+    return trim_rec, True
 
 
 def trim_record(countgraph, record, cutoff, variable_coverage=False,

@@ -88,36 +88,28 @@ class Normalizer(object):
         hash_rows = graph._hash_rows(seqs)
         at_cov = np.array(graph.median_at_least_batch(seqs, C))
 
-        # `seen` tracks k-mers of keeps whose verdicts postdate the
-        # last screen: overlap with it is the only way a screen result
-        # can be stale.  On overlap, flush the deferred consumes and
-        # re-screen the remaining tail in one device call — the scan
-        # continues with fresh (exact) verdicts.
+        # `seen` = k-mers consumed during this batch.  The pre-batch
+        # screen stays exact for any bundle that does not overlap it;
+        # an overlapping bundle flushes the deferred consumes and gets
+        # ONE small live query of its own (`seen` persists — other
+        # bundles' stale verdicts are unaffected).
         seen = set()
         pending_seqs = []
-        i = 0
-        n = len(pending)
-        while i < n:
-            bundle = pending[i]
+        for i, bundle in enumerate(pending):
             lo, hi = spans[i]
             if at_cov[lo:hi].all():
-                i += 1
-                continue  # at coverage as of last screen: drop (monotone)
+                continue  # at coverage pre-batch: drop (exact, monotone)
             rows = hash_rows[lo:hi]
             if seen and any(int(h) in seen for row in rows for h in row):
                 self._flush_consumes(pending_seqs)
-                seen.clear()
-                tail_lo = spans[i][0]
-                at_cov[tail_lo:] = graph.median_at_least_batch(
-                    seqs[tail_lo:], C)
-                continue  # re-decide this bundle with fresh flags
-            # verdict is exact: keep (some read below C at last screen)
+                if bundle.coverages_at_least(graph, C):
+                    continue
+            # keep: some read below C at decision time
             for record, row in zip(bundle.reads, rows):
                 pending_seqs.append(record.cleaned_seq)
                 seen.update(int(h) for h in row)
                 self.kept += 1
                 yield record
-            i += 1
         self._flush_consumes(pending_seqs)
 
     def __call__(self, reader):

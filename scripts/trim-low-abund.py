@@ -30,7 +30,7 @@ from khmer_tpu.kfile import (add_output_compression_type, check_space,
                              check_space_for_graph, check_valid_file_exists,
                              get_file_writer)
 from khmer_tpu.khmer_logger import configure_logging, log_error, log_info
-from khmer_tpu.trimming import trim_record
+from khmer_tpu.trimming import trim_record, trim_record_from_counts  # noqa: F401
 from khmer_tpu.utils import ReadBundle, broken_paired_reader, write_record
 
 DEFAULT_TRIM_AT_COVERAGE = 20
@@ -111,7 +111,14 @@ def get_parser():
 
 class Trimmer(object):
     """Core two-pass streaming trimmer (reference trim-low-abund.py:
-    170-283)."""
+    170-283), batched without changing the sequential semantics: each
+    batch resolves every read's k-mer hashes+counts in one device call;
+    a bundle whose k-mers overlap an earlier consumed-in-batch read
+    flushes the deferred consumes and re-fetches the tail's counts
+    (counts only grow, so >=threshold branch decisions taken from the
+    stale screen remain exact)."""
+
+    BATCH = 256
 
     def __init__(self, graph, do_trim_low_abund, cutoff, trim_at_coverage):
         self.graph = graph
@@ -133,50 +140,108 @@ class Trimmer(object):
         self.do_normalize = True
         self.diginorm_coverage = coverage
 
-    def pass1(self, reader, saver):
+    @staticmethod
+    def _median(counts):
+        import numpy as np
+
+        if counts.size == 0:
+            raise ValueError("no k-mer counts; read too short?")
+        return int(np.sort(counts)[counts.size // 2])
+
+    def _flush(self, pending_hashes):
+        import numpy as np
+
+        if pending_hashes:
+            self.graph.storage.add_batch(np.concatenate(pending_hashes))
+            pending_hashes.clear()
+
+    def _pass1_batch(self, bundles, saver):
         graph = self.graph
         trim_at = self.trim_at_coverage
         cutoff = self.cutoff
         dn_cov = self.diginorm_coverage
+        k = graph.ksize()
 
-        for _, is_pair, read1, read2 in reader:
-            bundle = ReadBundle(read1, read2)
-            self.n_reads += bundle.num_reads
-            self.n_bp += bundle.total_length
+        seqs = []
+        spans = []
+        for bundle in bundles:
+            spans.append((len(seqs), len(seqs) + len(bundle.reads)))
+            seqs.extend(r.cleaned_seq for r in bundle.reads)
+        hc = graph._hash_count_rows(seqs)
 
-            min_coverage = min(bundle.coverages(graph))
+        # `seen` = k-mers consumed since the last flush; a bundle whose
+        # counts may be stale (overlap) flushes the deferred consumes
+        # and re-fetches the remaining tail's counts in one call, after
+        # which the scan continues with exact values
+        seen = set()
+        pending_hashes = []
+        i = 0
+        while i < len(bundles):
+            bundle = bundles[i]
+            lo, hi = spans[i]
+            rows = hc[lo:hi]
+            if seen and any(int(h) in seen
+                            for hashes, _ in rows for h in hashes):
+                self._flush(pending_hashes)
+                seen.clear()
+                hc[lo:] = graph._hash_count_rows(seqs[lo:])
+                continue
+
+            min_coverage = min(self._median(c) for _, c in rows)
 
             if self.do_normalize and min_coverage >= dn_cov:
+                i += 1
                 continue
 
             if min_coverage >= trim_at:
-                for read in bundle.reads:
-                    record, did_trim = trim_record(graph, read, cutoff)
+                for read, (_, counts) in zip(bundle.reads, rows):
+                    record, did_trim = trim_record_from_counts(
+                        k, read, counts, cutoff)
                     if did_trim:
                         self.trimmed_reads += 1
                     if record:
                         yield record
             else:
-                for read in bundle.reads:
-                    graph.consume(read.cleaned_seq)
+                for read, (hashes, _) in zip(bundle.reads, rows):
+                    pending_hashes.append(hashes)
+                    seen.update(int(h) for h in hashes)
                     write_record(read, saver)
                     self.n_saved += 1
+            i += 1
+        self._flush(pending_hashes)
 
-    def pass2(self, reader):
-        graph = self.graph
-        trim_at = self.trim_at_coverage
-        cutoff = self.cutoff
-
+    def pass1(self, reader, saver):
+        batch = []
         for _, is_pair, read1, read2 in reader:
             bundle = ReadBundle(read1, read2)
             self.n_reads += bundle.num_reads
             self.n_bp += bundle.total_length
+            batch.append(bundle)
+            if len(batch) >= self.BATCH:
+                yield from self._pass1_batch(batch, saver)
+                batch = []
+        if batch:
+            yield from self._pass1_batch(batch, saver)
 
-            if self.do_trim_low_abund or \
-               bundle.coverages_at_least(graph, trim_at):
-                for read in bundle.reads:
-                    trimmed_record, did_trim = trim_record(
-                        graph, read, cutoff)
+    def _pass2_batch(self, bundles):
+        # pass2 never consumes, so one batched fetch is exact
+        graph = self.graph
+        k = graph.ksize()
+        seqs = []
+        spans = []
+        for bundle in bundles:
+            spans.append((len(seqs), len(seqs) + len(bundle.reads)))
+            seqs.extend(r.cleaned_seq for r in bundle.reads)
+        hc = graph._hash_count_rows(seqs)
+
+        for bundle, (lo, hi) in zip(bundles, spans):
+            rows = hc[lo:hi]
+            at_cov = all(
+                self._median(c) >= self.trim_at_coverage for _, c in rows)
+            if self.do_trim_low_abund or at_cov:
+                for read, (_, counts) in zip(bundle.reads, rows):
+                    trimmed_record, did_trim = trim_record_from_counts(
+                        k, read, counts, self.cutoff)
                     if did_trim:
                         self.trimmed_reads += 1
                     if trimmed_record:
@@ -186,6 +251,19 @@ class Trimmer(object):
                     self.n_skipped += 1
                     self.bp_skipped += len(read)
                     yield read
+
+    def pass2(self, reader):
+        batch = []
+        for _, is_pair, read1, read2 in reader:
+            bundle = ReadBundle(read1, read2)
+            self.n_reads += bundle.num_reads
+            self.n_bp += bundle.total_length
+            batch.append(bundle)
+            if len(batch) >= self.BATCH:
+                yield from self._pass2_batch(batch)
+                batch = []
+        if batch:
+            yield from self._pass2_batch(batch)
 
 
 def store_provenance_info(info, fname, format='json'):
