@@ -73,15 +73,31 @@ def main():
     output = csv.writer(output)
     output.writerow(['name', 'median', 'average', 'stddev', 'seqlen'])
 
+    import numpy as np
+
+    def flush(batch):
+        rows = countgraph._hash_count_rows([s for _, s in batch])
+        for (name, seq), (_, counts) in zip(batch, rows):
+            counts = np.asarray(counts, np.float64)
+            ave = float(counts.mean())
+            stdev = float(np.sqrt(((counts - ave) ** 2).mean()))
+            medn = int(np.sort(counts)[counts.size // 2])
+            ave, stdev = [round(x, 9) for x in (ave, stdev)]
+            output.writerow([name, medn, ave, stdev, len(seq)])
+
+    batch = []
     for record in FastxReader(input_filename):
         seq = record.sequence.upper()
         if 'N' in seq:
             seq = seq.replace('N', 'A')
 
         if ksize <= len(seq):
-            medn, ave, stdev = countgraph.get_median_count(seq)
-            ave, stdev = [round(x, 9) for x in (ave, stdev)]
-            output.writerow([record.name, medn, ave, stdev, len(seq)])
+            batch.append((record.name, seq))
+            if len(batch) >= 512:
+                flush(batch)
+                batch = []
+    if batch:
+        flush(batch)
 
 
 if __name__ == '__main__':

@@ -25,7 +25,7 @@ from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
                              check_space, check_space_for_graph,
                              get_file_writer)
 from khmer_tpu.khmer_logger import configure_logging, log_error, log_info
-from khmer_tpu.trimming import trim_record
+from khmer_tpu.trimming import trim_record_from_counts
 from khmer_tpu.utils import broken_paired_reader, write_record
 
 DEFAULT_NORMALIZE_LIMIT = 20
@@ -118,15 +118,26 @@ def main():
                                        min_length=graph.ksize(),
                                        force_single=True)
 
+    # the graph is frozen during the filtering pass: batch the fetches
+    def flush(batch):
+        rows = graph._hash_count_rows([r.cleaned_seq for r in batch])
+        for read, (_, counts) in zip(batch, rows):
+            trimmed_record, _ = trim_record_from_counts(
+                graph.ksize(), read, counts, args.cutoff,
+                args.variable_coverage, args.normalize_to)
+            if trimmed_record:
+                write_record(trimmed_record, outfp)
+
+    batch = []
     for n, is_pair, read1, read2 in paired_iter:
         assert not is_pair
         assert read2 is None
-
-        trimmed_record, _ = trim_record(graph, read1, args.cutoff,
-                                        args.variable_coverage,
-                                        args.normalize_to)
-        if trimmed_record:
-            write_record(trimmed_record, outfp)
+        batch.append(read1)
+        if len(batch) >= 512:
+            flush(batch)
+            batch = []
+    if batch:
+        flush(batch)
 
     log_info('output in {outfile}', outfile=outfile)
 

@@ -23,7 +23,7 @@ from khmer_tpu.khmer_args import (FileType as khFileType,
 from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
                              check_space, get_file_writer)
 from khmer_tpu.khmer_logger import configure_logging, log_error, log_info
-from khmer_tpu.trimming import trim_record
+from khmer_tpu.trimming import trim_record_from_counts
 from khmer_tpu.utils import broken_paired_reader, write_record
 
 DEFAULT_NORMALIZE_LIMIT = 20
@@ -118,15 +118,28 @@ def main():
                                            min_length=ksize,
                                            force_single=True)
 
+        # the countgraph is frozen here, so whole batches of reads are
+        # trimmed from one device fetch
+        def flush(batch):
+            rows = countgraph._hash_count_rows(
+                [r.cleaned_seq for r in batch])
+            for read, (_, counts) in zip(batch, rows):
+                trimmed_record, _ = trim_record_from_counts(
+                    ksize, read, counts, args.cutoff,
+                    args.variable_coverage, args.normalize_to)
+                if trimmed_record:
+                    write_record(trimmed_record, outfp)
+
+        batch = []
         for n, is_pair, read1, read2 in paired_iter:
             assert not is_pair
             assert read2 is None
-
-            trimmed_record, _ = trim_record(countgraph, read1, args.cutoff,
-                                            args.variable_coverage,
-                                            args.normalize_to)
-            if trimmed_record:
-                write_record(trimmed_record, outfp)
+            batch.append(read1)
+            if len(batch) >= 512:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
 
         log_info('output in {outfile}', outfile=outfile)
 
