@@ -143,3 +143,23 @@ def test_clean_sequence():
 def test_encode_raw_strict():
     # raw twobit_repr: lowercase and N encode as 3 ('G' bucket)
     assert list(encode_sequence("ATCGNa")) == [0, 1, 2, 3, 3, 3]
+
+
+def test_reference_hash_golden_constants():
+    """Golden hash values from the reference tests/test_functions.py."""
+    import khmer_tpu as khmer
+
+    assert khmer.forward_hash('AAAA', 4) == 0
+    assert khmer.forward_hash('TTTT', 4) == 0
+    assert khmer.forward_hash('CCCC', 4) == 170
+    assert khmer.forward_hash('GGGG', 4) == 170
+    assert khmer.forward_hash(
+        'GGTTGACGGGGCTCAGGGGGCGGCTGACTCCG', 32) == 13607885392109549066
+    assert khmer.forward_hash_no_rc('AAAA', 4) == 0
+    assert khmer.forward_hash_no_rc('TTTT', 4) == 85
+    assert khmer.reverse_hash(0, 4) == 'AAAA'
+    assert khmer.reverse_hash(85, 4) == 'TTTT'
+    assert khmer.hash_murmur3('AAAA') == 526240128537019279
+    assert khmer.hash_murmur3('TTTT') == 526240128537019279
+    assert khmer.hash_murmur3('CCCC') == 14391997331386449225
+    assert khmer.hash_murmur3('GGGG') == 14391997331386449225
