@@ -332,10 +332,10 @@ class Hashgraph(Hashtable):
         return part.repartition_largest_partition(
             distance, threshold, frequency, counts)
 
-    def sweep_for_tags(self, seq, break_on_stop_tags=False,
+    def sweep_for_tags(self, seq, range_=0, break_on_stop_tags=False,
                        stop_big_traversals=False):
         return self.partition.sweep_for_tags(
-            seq, break_on_stop_tags, stop_big_traversals)
+            seq, range_, break_on_stop_tags, stop_big_traversals)
 
     def find_unpart(self, filename, traverse, stop_big_traversals):
         return self.partition.find_unpart(

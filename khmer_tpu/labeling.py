@@ -29,9 +29,14 @@ class GraphLabels:
     def n_labels(self):
         return len(self.all_labels)
 
-    @property
     def labels(self):
         return list(sorted(self.all_labels))
+
+    def add_tag(self, kmer):
+        self.graph.add_tag(kmer)
+
+    def reverse_hash(self, h):
+        return self.graph.reverse_hash(h)
 
     def link_tag_and_label(self, tag, label):
         """(labelhash.cc:206-214)"""
@@ -121,22 +126,11 @@ class GraphLabels:
                                break_on_stoptags=False,
                                stop_big_traversals=False):
         """Tags within `radius` of the read (labeling.pyx:56-73)."""
-        from khmer_tpu.partitioning import SubsetPartition
-
-        part = getattr(self.graph, "partition", None)
-        if part is None:
-            part = SubsetPartition(self.graph)
-            self.graph.partition = part
-        saved = self.graph._tag_density
-        if radius:
-            # sweep_for_tags uses tag_density as its range
-            self.graph._tag_density = radius * 2
-        try:
-            tags = part.sweep_for_tags(
-                sequence, break_on_stop_tags=break_on_stoptags,
-                stop_big_traversals=stop_big_traversals)
-        finally:
-            self.graph._tag_density = saved
+        part = self.graph.partition
+        tags = part.sweep_for_tags(
+            sequence, range_=radius,
+            break_on_stop_tags=break_on_stoptags,
+            stop_big_traversals=stop_big_traversals)
         hs = HashSet(self.graph.ksize())
         hs.update(tags)
         return hs
@@ -239,3 +233,8 @@ def CountGraphLabels(k, starting_size, n_tables, primes=None):
     from khmer_tpu.graph import Countgraph
 
     return GraphLabels(Countgraph(k, starting_size, n_tables, primes=primes))
+
+
+# labeling.pyx exposes these as GraphLabels staticmethods
+GraphLabels.NodeGraphLabels = staticmethod(NodeGraphLabels)
+GraphLabels.CountGraphLabels = staticmethod(CountGraphLabels)

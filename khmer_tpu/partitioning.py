@@ -441,15 +441,18 @@ class SubsetPartition:
 
     # -- sweep (annotate arbitrary reads by neighborhood) ------------------
 
-    def sweep_for_tags(self, seq, break_on_stop_tags=False,
+    def sweep_for_tags(self, seq, range_=0, break_on_stop_tags=False,
                        stop_big_traversals=False):
         """BFS from every k-mer of the read out to nearby tags
-        (subset.cc:427-520; range-limited to tag_density, perimeter
-        abort at 200*len)."""
+        (subset.cc:427-520; perimeter abort at 200*len).
+
+        range_=0 restricts the sweep to the read's own k-mers (the
+        reference's range==0 semantics); otherwise range_ bounds the
+        BFS breadth."""
         k = self.graph.ksize()
         all_tags = self.graph.all_tags
         stop_tags = self.graph.stop_tags
-        max_breadth = self.graph.tag_density
+        max_breadth = range_
         big = BIG_TRAVERSALS_ARE * len(seq)
 
         hashes = self.graph._hash_array(seq)
