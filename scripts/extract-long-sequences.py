@@ -47,7 +47,7 @@ def main():
         for record in FastxReader(filename):
             if len(record.sequence) >= args.length:
                 write_record(record, outfp)
-    print('wrote to: ' + getattr(args.output, 'name', 'stdout'),
+    print('wrote to: ' + str(getattr(args.output, 'name', 'stdout')),
           file=sys.stderr)
 
 
