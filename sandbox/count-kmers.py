@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Output abundances of the k-mers in the sequence files using a
+pre-made k-mer countgraph.
+
+% python sandbox/count-kmers.py <ct> <fasta/fastq> [ <fasta/fastq> ... ]
+
+TPU port of the reference sandbox/count-kmers.py.
+"""
+
+import argparse
+import csv
+import sys
+
+import khmer_tpu as khmer
+from khmer_tpu import Countgraph
+from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.khmer_args import info
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(
+        description="Output abundances of the k-mers in "
+        "the sequence files using a pre-made k-mer countgraph.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('input_count_graph_filename', help='The name of the'
+                        ' input k-mer countgraph file.')
+    parser.add_argument('input_sequence_filenames', help='The input'
+                        ' FAST[AQ] sequence file(s).', nargs='+')
+    parser.add_argument('-o', '--out', metavar="output_file",
+                        dest='output_file',
+                        type=argparse.FileType('w'),
+                        default=None, help='output counts to this file')
+    return parser
+
+
+def main():
+    info('count-kmers.py', ['counting'])
+    args = get_parser().parse_args()
+
+    print('hashtable from', args.input_count_graph_filename,
+          file=sys.stderr)
+    countgraph = Countgraph.load(args.input_count_graph_filename)
+
+    kmer_size = countgraph.ksize()
+    hashsizes = countgraph.hashsizes()
+    tracking = khmer.Nodegraph(kmer_size, 1, 1, primes=hashsizes)
+
+    if args.output_file is None:
+        args.output_file = sys.stdout
+    writer = csv.writer(args.output_file)
+
+    for filename in args.input_sequence_filenames:
+        for record in FastxReader(filename):
+            seq = record.sequence.replace('N', 'A')
+            hashes, counts = countgraph._hash_count_rows([seq])[0]
+            for i, (h, c) in enumerate(zip(hashes, counts)):
+                if not tracking.get(int(h)):
+                    tracking.add(int(h))
+                    writer.writerow([seq[i:i + kmer_size], str(int(c))])
+
+    print('Total number of unique k-mers: {0}'.format(
+        countgraph.n_unique_kmers()), file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
