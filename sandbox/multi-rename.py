@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Rename sequences (>= 200bp) with a common prefix.
+
+% python sandbox/multi-rename.py <prefix> <file1> [<file2> ...]
+
+TPU port of the reference sandbox/multi-rename.py.
+"""
+
+import sys
+import textwrap
+
+from khmer_tpu.io.fastx import FastxReader
+
+CUTOFF = 200
+
+
+def main():
+    n = 0
+    prefix = sys.argv[1]
+    for filename in sys.argv[2:]:
+        for record in FastxReader(filename):
+            if len(record.sequence) >= CUTOFF:
+                n += 1
+                print('>%s.%s %s' % (prefix, n, record.name))
+                print("\n".join(textwrap.wrap(record.sequence, 80)))
+
+
+if __name__ == '__main__':
+    main()
