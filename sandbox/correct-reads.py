@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Semi-streaming read correction: saturate a countgraph, then align
+reads against it with the pair-HMM ReadAligner and emit the corrected
+graph sequence.
+
+% python sandbox/correct-reads.py [-C cutoff] [-Z coverage] <data1> ...
+
+Output is <input>.corr per input (or -o).  TPU port of the reference
+sandbox/correct-reads.py (two-pass structure like trim-low-abund).
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import textwrap
+
+import khmer_tpu as khmer
+from khmer_tpu import Countgraph, khmer_args
+from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.khmer_args import (add_loadgraph_args, build_counting_args,
+                                  calculate_graphsize, info,
+                                  report_on_config, sanitize_help)
+from khmer_tpu.kfile import (check_space, check_space_for_graph,
+                             check_valid_file_exists)
+from khmer_tpu.utils import (broken_paired_reader, write_record,
+                             write_record_pair)
+
+DEFAULT_NORMALIZE_LIMIT = 20
+DEFAULT_CUTOFF = 2
+
+
+def correct_sequence(aligner, sequence):
+    score, graph_alignment, read_alignment, truncated = \
+        aligner.align(sequence)
+    if not truncated:
+        return True, graph_alignment.replace("-", "")
+    return False, sequence
+
+
+def fix_quality(record):
+    if len(record.sequence) < len(record.quality):
+        record.quality = record.quality[:len(record.sequence)]
+    while len(record.sequence) > len(record.quality):
+        record.quality += 'I'  # @CTB hack
+
+
+def get_parser():
+    epilog = """
+    The output is one file for each input file, <input file>.corr,
+    placed in the current directory.  This output contains the input
+    sequences, corrected at low-abundance k-mers.
+
+    Example::
+
+        correct-reads.py -x 5e7 -k 20 -C 2 data/100k-filtered.fa
+    """
+    parser = build_counting_args(
+        descr='Correct reads using a semi-streaming algorithm.',
+        epilog=textwrap.dedent(epilog))
+    parser.add_argument('input_filenames', nargs='+')
+    parser.add_argument('--cutoff', '-C', type=int,
+                        help='k-mers below this abundance are not trusted',
+                        default=DEFAULT_CUTOFF)
+    parser.add_argument('--normalize-to', '-Z', type=int,
+                        help='base cutoff on this median k-mer abundance',
+                        default=DEFAULT_NORMALIZE_LIMIT)
+    parser.add_argument('-o', '--out', metavar="filename",
+                        type=argparse.FileType('w'),
+                        default=None, help='only output a single file '
+                        'with the specified filename')
+    parser.add_argument('--variable-coverage', '-V', action='store_true',
+                        default=False,
+                        help='Only correct sequences that have high '
+                        'coverage.')
+    add_loadgraph_args(parser)
+    parser.add_argument('-s', '--savegraph', metavar="filename",
+                        default='',
+                        help='save the k-mer countgraph to disk after all'
+                        'reads are loaded.')
+    parser.add_argument('--force', default=False, action='store_true')
+    parser.add_argument('--ignore-pairs', default=False,
+                        action='store_true')
+    parser.add_argument('--tempdir', '-T', type=str, default='./')
+    parser.add_argument("--theta", dest="bits_theta", type=float,
+                        default=1.0)
+    return parser
+
+
+def main():
+    info('correct-reads.py', ['streaming'])
+    args = sanitize_help(get_parser()).parse_args()
+
+    NORMALIZE_LIMIT = args.normalize_to
+
+    check_valid_file_exists(args.input_filenames)
+    check_space(args.input_filenames, args.force)
+    if args.savegraph:
+        check_space_for_graph(
+            args.savegraph, calculate_graphsize(args, 'countgraph'),
+            args.force)
+
+    report_on_config(args)
+
+    if args.loadgraph:
+        print('loading k-mer countgraph from', args.loadgraph,
+              file=sys.stderr)
+        ct = Countgraph.load(args.loadgraph)
+    else:
+        print('making k-mer countgraph', file=sys.stderr)
+        ct = khmer_args.create_countgraph(args)
+
+    K = ct.ksize()
+
+    tempdir = tempfile.mkdtemp('khmer', 'tmp', args.tempdir)
+    print('created temporary directory %s; use -T to change location'
+          % tempdir, file=sys.stderr)
+
+    aligner = khmer.ReadAligner(ct, args.cutoff, args.bits_theta)
+
+    # ### FIRST PASS ###
+
+    save_pass2_total = 0
+    n_bp = 0
+    n_reads = 0
+    written_reads = 0
+    written_bp = 0
+    corrected_reads = 0
+
+    def correct_and_write(read, corrfp):
+        nonlocal corrected_reads, written_reads, written_bp
+        seq = read.sequence.replace('N', 'A')
+        is_aligned, new_seq = correct_sequence(aligner, seq)
+        if is_aligned:
+            if new_seq != read.sequence:
+                corrected_reads += 1
+            read.sequence = new_seq
+            if read.quality is not None:
+                fix_quality(read)
+        write_record(read, corrfp)
+        written_reads += 1
+        written_bp += len(read.sequence)
+
+    pass2list = []
+    for filename in args.input_filenames:
+        pass2filename = os.path.join(
+            tempdir, os.path.basename(filename) + '.pass2')
+        if args.out is None:
+            corrfp = open(os.path.basename(filename) + '.corr', 'w')
+        else:
+            corrfp = args.out
+
+        pass2list.append((filename, pass2filename, corrfp))
+
+        pass2fp = open(pass2filename, 'w')
+        save_pass2 = 0
+        n = 0
+
+        paired_iter = broken_paired_reader(
+            FastxReader(filename), min_length=K,
+            force_single=args.ignore_pairs)
+        for n, is_pair, read1, read2 in paired_iter:
+            if n % 10000 == 0:
+                print('...', n, filename, save_pass2, n_reads, n_bp,
+                      written_reads, written_bp, file=sys.stderr)
+
+            reads = [read1, read2] if is_pair else [read1]
+            n_reads += len(reads)
+            n_bp += sum(len(r.sequence) for r in reads)
+
+            meds = [ct.get_median_count(
+                r.sequence.replace('N', 'A'))[0] for r in reads]
+
+            if min(meds) < NORMALIZE_LIMIT:
+                for r in reads:
+                    ct.consume(r.sequence.replace('N', 'A'))
+                if is_pair:
+                    write_record_pair(read1, read2, pass2fp)
+                else:
+                    write_record(read1, pass2fp)
+                save_pass2 += len(reads)
+            else:
+                for r in reads:
+                    correct_and_write(r, corrfp)
+
+        pass2fp.close()
+        print('%s: kept aside %d of %d from first pass'
+              % (filename, save_pass2, n), file=sys.stderr)
+        save_pass2_total += save_pass2
+
+    # ### SECOND PASS ###
+
+    skipped_n = 0
+    skipped_bp = 0
+    for _, pass2filename, corrfp in pass2list:
+        print('second pass: looking at sequences kept aside in %s'
+              % pass2filename, file=sys.stderr)
+        for n, read in enumerate(FastxReader(pass2filename)):
+            if n % 10000 == 0:
+                print('... x 2', n, pass2filename, written_reads,
+                      written_bp, file=sys.stderr)
+
+            seq = read.sequence.replace('N', 'A')
+            med, _, _ = ct.get_median_count(seq)
+
+            # do we retain low-abundance reads unmodified?
+            if med < NORMALIZE_LIMIT and args.variable_coverage:
+                write_record(read, corrfp)
+                skipped_n += 1
+                skipped_bp += len(read.sequence)
+            else:
+                correct_and_write(read, corrfp)
+
+        print('removing %s' % pass2filename, file=sys.stderr)
+        os.unlink(pass2filename)
+
+    print('removing temp directory & contents (%s)' % tempdir,
+          file=sys.stderr)
+    shutil.rmtree(tempdir)
+
+    print('read %d reads, %d bp' % (n_reads, n_bp), file=sys.stderr)
+    print('wrote %d reads, %d bp' % (written_reads, written_bp),
+          file=sys.stderr)
+    print('looked at %d reads twice' % save_pass2_total, file=sys.stderr)
+    print('corrected %d reads' % corrected_reads, file=sys.stderr)
+    if args.variable_coverage:
+        print('skipped %d reads/%d bases because of low coverage'
+              % (skipped_n, skipped_bp), file=sys.stderr)
+
+    if args.savegraph:
+        print('saving k-mer countgraph to', args.savegraph,
+              file=sys.stderr)
+        ct.save(args.savegraph)
+
+
+if __name__ == '__main__':
+    main()
