@@ -650,6 +650,7 @@ class Hashtable:
     def median_at_least(self, sequence, cutoff):
         """True when >= half the k-mers have count >= cutoff
         (hashtable.cc:341-370)."""
+        self._valid_sequence(sequence)
         counts = self.storage.get_batch(self._hash_array(sequence))
         n = counts.size
         min_req = int(0.5 + n / 2.0)
@@ -786,6 +787,18 @@ class Hashtable:
         return [int(x) for x in out]
 
     abundance_distribution_with_reads_parser = abundance_distribution
+
+    def get_raw_tables(self):
+        """Per-table byte buffers in the OXLI on-disk layout
+        (graphs.pyx:508,966).  NOTE: these are snapshots of the device
+        table, not live views — re-call after updates."""
+        raw = self.storage.raw_bytes()
+        out = []
+        off = 0
+        for nb in self.storage.spec.bytes_per_table:
+            out.append(memoryview(raw[off: off + nb]))
+            off += nb
+        return out
 
     # -- save/load ----------------------------------------------------------------
 
