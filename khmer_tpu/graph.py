@@ -400,7 +400,7 @@ class Hashgraph(Hashtable):
             first = int(self._hash_array(seq)[0])
             self.all_tags.add(first)
             if pid != 0:
-                subset.assign_partition_id(first, pid)
+                subset.set_partition_id(first, pid)
         self.partition = subset
         return n_reads, n_consumed
 
@@ -432,6 +432,9 @@ class Nodegraph(Hashgraph):
 
     def update(self, other):
         """Union with another same-shaped Nodegraph (graphs.pyx name)."""
+        if self.ksize() != other.ksize():
+            raise ValueError(
+                "both nodegraphs must have the same k size")
         self.storage.update_from(other.storage)
 
     update_from = update

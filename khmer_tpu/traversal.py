@@ -177,12 +177,22 @@ def kmer_degree(graph, kmer):
 
 
 def neighbors(graph, kmer):
-    """Canonical hashes of existing neighbors (graphs.pyx:553-557)."""
+    """Existing neighbors as Kmer objects, one per found direction
+    (duplicates preserved — graphs.pyx:553-557 returns the Traverser's
+    per-direction finds)."""
+    from khmer_tpu.kmer import Kmer
+
+    if isinstance(kmer, bytes):
+        kmer = kmer.decode("ascii")
+    if not isinstance(kmer, (str, int, np.integer)):
+        raise TypeError("kmer must be a string or hash")
     k = graph.ksize()
+    if isinstance(kmer, str) and len(kmer) != k:
+        raise ValueError("k-mer length must equal the graph k size")
     f, r = _seed(graph, kmer)
     _, _, canon, _ = _expand(graph, np.array([f], np.uint64),
                              np.array([r], np.uint64), k)
-    return [int(c) for c in canon]
+    return [Kmer.create(int(c), k) for c in canon]
 
 
 def traverse_from_kmer(graph, kmer, radius, max_count=None):
