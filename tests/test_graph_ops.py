@@ -46,7 +46,7 @@ def test_neighbors_are_adjacent_kmers(linear_graph):
     g, seq = linear_graph
     mid = seq[50: 50 + K]
     expect = {g.hash(seq[49: 49 + K]), g.hash(seq[51: 51 + K])}
-    assert set(g.neighbors(mid)) == expect
+    assert {n.kmer_u for n in g.neighbors(mid)} == expect
 
 
 def test_traverse_from_kmer_radius(linear_graph):
