@@ -45,6 +45,12 @@ from khmer_tpu.hllcounter import HLLCounter
 from khmer_tpu.hashset import HashSet
 from khmer_tpu.readaligner import ReadAligner
 from khmer_tpu.labeling import GraphLabels
+from khmer_tpu.assembly import (
+    JunctionCountAssembler,
+    LinearAssembler,
+    SimpleLabeledAssembler,
+)
+from khmer_tpu.partitioning import PrePartitionInfo, SubsetPartition
 
 # khmer exposes the ReadParser name for multi-threaded parsing; on TPU the
 # parser feeds device batches, one stream per host process.
