@@ -51,6 +51,7 @@ from khmer_tpu.assembly import (
     SimpleLabeledAssembler,
 )
 from khmer_tpu.partitioning import PrePartitionInfo, SubsetPartition
+from khmer_tpu.parsing import FastxParser
 
 # khmer exposes the ReadParser name for multi-threaded parsing; on TPU the
 # parser feeds device batches, one stream per host process.
