@@ -93,6 +93,8 @@ def forward_hash_no_rc(kmer: str, k: int) -> int:
 
 def reverse_hash(khash: int, k: int) -> str:
     """Invert a forward 2-bit hash back into its k-mer string."""
+    if isinstance(khash, str):
+        raise TypeError("Hash value must be an int")
     if k > 32:
         raise ValueError("k-mer size must be <= 32 for the 2-bit hash")
     out = []

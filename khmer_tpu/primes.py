@@ -18,11 +18,8 @@ def is_prime(n):
 
 
 def get_n_primes_near_x(n, x):
-    """n distinct primes smaller than x, descending (hashtable.hh:104-128).
-
-    Returns fewer than n primes when x is too small (the reference's
-    behavior); callers that need exactly n should check the length.
-    """
+    """n distinct primes smaller than x, descending (hashtable.hh:
+    104-128; raises like khmer/_oxli/utils.pyx when x is too small)."""
     n = int(n)
     x = int(x)
     if x == 1:
@@ -37,4 +34,7 @@ def get_n_primes_near_x(n, x):
         if i == 1:
             break
         i -= 2
+    if len(primes) != n:
+        raise RuntimeError(
+            "unable to find %d prime numbers < %d" % (n, x))
     return primes
