@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from khmer_tpu.ops.hashing import kmer_hashes_2bit_pm
+    from khmer_tpu.ops.hashing import kmer_hashes_2bit_pm_u32
 
     K = 20
     backend = jax.default_backend()
@@ -42,14 +42,19 @@ def main():
     codes = jnp.asarray(rng.integers(0, 4, (R, L), dtype=np.uint8))
     lengths = jnp.full((R,), L, jnp.int32)
 
-    fn = jax.jit(lambda c: kmer_hashes_2bit_pm(c, lengths, K)[0])
-    r = fn(codes)
-    _ = np.asarray(r.ravel()[0:1])  # force real completion
+    # the production kernel emits canonical hashes as (hi, lo) uint32
+    # pairs (TPU-native split-radix form, combined to u64 inside the
+    # fused consume jit); materialize both halves = full hash output
+    fn = jax.jit(lambda c: kmer_hashes_2bit_pm_u32(c, lengths, K)[:2])
+    hi, lo = fn(codes)
+    _ = np.asarray(hi.ravel()[0:1])  # force real completion
+    _ = np.asarray(lo.ravel()[0:1])
 
     t0 = time.perf_counter()
     for _i in range(iters):
-        r = fn(codes)
-    _ = np.asarray(r.ravel()[0:1])
+        hi, lo = fn(codes)
+    _ = np.asarray(hi.ravel()[0:1])
+    _ = np.asarray(lo.ravel()[0:1])
     dt = (time.perf_counter() - t0) / iters
 
     gbps = R * L / dt / 1e9

@@ -101,12 +101,12 @@ def _chunk_hashes_weights(data, weights, k, hash_kind, payload):
     limit = limit.at[R - 1, payload - k + 1:].set(0)
     w2d = w2d * limit
     if hash_kind == "2bit":
-        canon, _, _, _ = kmer_hashes_2bit_pm(
+        canon, _ = kmer_hashes_2bit_pm(
             rows, jnp.full((R,), rows.shape[1], jnp.int32), k)
-        nw = canon.shape[-1]
-        wpad = jnp.zeros((R, 32 * nw), weights.dtype)
+        P, _, nw = canon.shape
+        wpad = jnp.zeros((R, P * nw), weights.dtype)
         wpad = wpad.at[:, :payload].set(w2d)
-        w_pm = jnp.transpose(wpad.reshape(R, nw, 32), (2, 0, 1))
+        w_pm = jnp.transpose(wpad.reshape(R, nw, P), (2, 0, 1))
         return canon.reshape(-1), w_pm.reshape(-1)
     h, _ = kmer_hashes_murmur_bytes(
         rows, jnp.full((R,), rows.shape[1], jnp.int32), k,
