@@ -647,6 +647,21 @@ class Hashtable:
         med = int(np.sort(counts)[counts.size // 2])
         return med, avg, stddev
 
+    def get_median_count_batch(self, sequences):
+        """get_median_count for a batch of sequences resolved in ONE
+        device call: returns a list of (median, average, stddev)."""
+        out = []
+        for _, counts in self._hash_count_rows(sequences):
+            counts = np.asarray(counts, np.float64)
+            if counts.size == 0:
+                out.append((0, 0.0, 0.0))
+                continue
+            avg = float(counts.mean())
+            stddev = float(math.sqrt(((counts - avg) ** 2).mean()))
+            med = int(np.sort(counts)[counts.size // 2])
+            out.append((med, avg, stddev))
+        return out
+
     def median_at_least(self, sequence, cutoff):
         """True when >= half the k-mers have count >= cutoff
         (hashtable.cc:341-370)."""

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Annotate a contig database with RPKM-style coverage from a SAM-ish
+mapping file.
+
+% python sandbox/make-coverage.py <contigs> <mapfile>
+
+Writes '<contigs>.cov' with '[cov=N]' appended to each contig name.
+TPU port of the reference sandbox/make-coverage.py.
+"""
+
+import sys
+
+from khmer_tpu.io.fastx import FastxReader
+
+
+def main():
+    dbfile = sys.argv[1]
+    mapfile = sys.argv[2]
+
+    lengths = {}
+    for n, record in enumerate(FastxReader(dbfile)):
+        if n % 100000 == 0:
+            print('...', n)
+        lengths[record.name] = len(record.sequence)
+
+    sums = {}
+    n = 0
+    for n, line in enumerate(open(mapfile)):
+        if n % 100000 == 0:
+            print('... 2x', n)
+        x = line.split('\t')
+        name = x[2]
+        sums[name] = sums.get(name, 0) + 1
+
+    mapped_reads = n
+
+    rpkms = {}
+    for k in sums:
+        rpkms[k] = sums[k] * (1000. / float(lengths[k])) * \
+            float(mapped_reads) / 1e6
+
+    outfp = open(dbfile + '.cov', 'w')
+    for n, record in enumerate(FastxReader(dbfile)):
+        if n % 100000 == 0:
+            print('...', n)
+
+        print(">%s[cov=%d]\n%s" % (record.name,
+                                   rpkms.get(record.name, 0),
+                                   record.sequence),
+              file=outfp)
+
+
+if __name__ == '__main__':
+    main()
