@@ -236,11 +236,17 @@ class Hashgraph(Hashtable):
 
         return traversal.find_high_degree_nodes(self, sequence)
 
-    def traverse_linear_path(self, kmer, adjacencies, visited, degree_nodes):
+    def traverse_linear_path(self, kmer, hdns, stop_filter=None):
+        """Walk the linear path from kmer, avoiding high-degree nodes;
+        returns (size, adjacent-HDNs, visited) (graphs.pyx:608-622)."""
         from khmer_tpu import traversal
+        from khmer_tpu.hashset import HashSet
 
-        return traversal.traverse_linear_path(self, kmer, adjacencies,
-                                              visited, degree_nodes)
+        adj = HashSet(self.ksize())
+        visited = HashSet(self.ksize())
+        size = traversal.traverse_linear_path(
+            self, kmer, adj, visited, stop_filter, hdns=hdns)
+        return size, adj, visited
 
     def extract_unique_paths(self, sequence, min_length, min_unique_f):
         from khmer_tpu import traversal

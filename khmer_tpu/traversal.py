@@ -112,6 +112,8 @@ def _expand(graph, f, r, k, direction="both"):
 
 def _seed(graph, kmer):
     k = graph.ksize()
+    if hasattr(kmer, "kmer_f"):  # a Kmer object carries its own f/r
+        return int(kmer.kmer_f), int(kmer.kmer_r)
     if isinstance(kmer, str):
         from khmer_tpu.ops.hashing import hash_2bit_scalar
 
