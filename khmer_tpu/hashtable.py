@@ -36,6 +36,7 @@ from khmer_tpu.ops.hashing import (
     kmer_hashes_murmur_bytes,
     reverse_hash,
 )
+from khmer_tpu.ops.rollinghash import kmer_hashes_cyclic_bytes
 from khmer_tpu.ops.sketch_ops import sketch_get, sketch_update
 from khmer_tpu.primes import get_n_primes_near_x
 from khmer_tpu.storage import BitStorage, ByteStorage, NibbleStorage
@@ -60,6 +61,13 @@ def _bucket_width(n):
     return -(-n // CHUNK) * CHUNK
 
 
+def _bytes_hash(hash_kind):
+    """Batched byte-stream hash function for a non-2bit hash kind."""
+    if hash_kind == "cyclic":
+        return kmer_hashes_cyclic_bytes
+    return kmer_hashes_murmur_bytes
+
+
 def _hash_windows(data, k, hash_kind, assume_acgt=False):
     """Hashes of every window of a flat [S] byte/code buffer -> [S-k+1].
 
@@ -68,7 +76,7 @@ def _hash_windows(data, k, hash_kind, assume_acgt=False):
         h, _ = kmer_hashes_2bit(
             data[None, :], jnp.array([data.shape[0]], jnp.int32), k)
     else:
-        h, _ = kmer_hashes_murmur_bytes(
+        h, _ = _bytes_hash(hash_kind)(
             data[None, :], jnp.array([data.shape[0]], jnp.int32), k,
             assume_acgt=assume_acgt)
     return h[0]
@@ -108,10 +116,10 @@ def _chunk_hashes_weights(data, weights, k, hash_kind, payload):
         wpad = wpad.at[:, :payload].set(w2d)
         w_pm = jnp.transpose(wpad.reshape(R, nw, P), (2, 0, 1))
         return canon.reshape(-1), w_pm.reshape(-1)
-    h, _ = kmer_hashes_murmur_bytes(
+    h, _ = _bytes_hash(hash_kind)(
         rows, jnp.full((R,), rows.shape[1], jnp.int32), k,
         assume_acgt=True)
-    # murmur rows yield exactly `payload` windows per row, in order
+    # byte rows yield exactly `payload` windows per row, in order
     return h[:, :payload].reshape(-1), w2d.reshape(-1)
 
 
@@ -197,7 +205,7 @@ def _make_row_hashes_fn(k, hash_kind):
         if hash_kind == "2bit":
             h, _ = kmer_hashes_2bit(data, lengths, k)
         else:
-            h, _ = kmer_hashes_murmur_bytes(data, lengths, k)
+            h, _ = _bytes_hash(hash_kind)(data, lengths, k)
         return h
 
     return jax.jit(fn)
@@ -209,7 +217,7 @@ def _make_row_hashes_counts_fn(spec, k, hash_kind):
         if hash_kind == "2bit":
             h, _ = kmer_hashes_2bit(data, lengths, k)
         else:
-            h, _ = kmer_hashes_murmur_bytes(data, lengths, k)
+            h, _ = _bytes_hash(hash_kind)(data, lengths, k)
         return h, sketch_get(spec, table, h)
 
     return jax.jit(fn)
@@ -224,7 +232,7 @@ def _make_median_at_least_fn(spec, k, hash_kind):
         if hash_kind == "2bit":
             h, valid = kmer_hashes_2bit(data, lengths, k)
         else:
-            h, valid = kmer_hashes_murmur_bytes(data, lengths, k)
+            h, valid = _bytes_hash(hash_kind)(data, lengths, k)
         counts = sketch_get(spec, table, h)
         hits = jnp.sum(((counts >= cutoff) & valid).astype(jnp.int32),
                        axis=1)
@@ -375,6 +383,10 @@ class Hashtable:
         self._sanitize_seq_kmer(kmer)
         if self.hash_kind == "2bit":
             return forward_hash(kmer, self._ksize)
+        if self.hash_kind == "cyclic":
+            from khmer_tpu.ops.rollinghash import hash_cyclic_scalar
+
+            return hash_cyclic_scalar(kmer, self._ksize)[0]
         return hash_murmur3_scalar(kmer)
 
     def reverse_hash(self, khash):
@@ -847,16 +859,15 @@ class Counttable(Hashtable):
 
 
 class CyclicCounttable(Hashtable):
-    """Counttable over a rolling-hash table (graphs.pyx:477-491).
+    """Counttable over the rolling (cyclic) hash (graphs.pyx:477-491).
 
-    The reference hashes with Lemire's CyclicHash character tables
-    (third-party/rollinghash); this port hashes the same window bytes
-    with murmur — identical API, table geometry, and save format, but
-    hash values are not bit-identical to the reference's rollinghash
-    constants (both are irreversible, unbounded-k hash functions)."""
+    Hash values are bit-identical to the reference's
+    CyclicHash<uint64>-based `_hash_cyclic` (kmer_hash.cc:237-278);
+    every window is computed closed-form on device instead of rolling
+    (see ops/rollinghash.py)."""
 
     storage_class = ByteStorage
-    hash_kind = "murmur"
+    hash_kind = "cyclic"
 
 
 class QFCounttable(Hashtable):

@@ -163,3 +163,27 @@ def test_reference_hash_golden_constants():
     assert khmer.hash_murmur3('TTTT') == 526240128537019279
     assert khmer.hash_murmur3('CCCC') == 14391997331386449225
     assert khmer.hash_murmur3('GGGG') == 14391997331386449225
+
+
+def test_hash_cyclic_reference_parity():
+    """Golden values computed with the reference's bundled
+    rollinghash CyclicHash<uint64> (kmer_hash.cc:237-257)."""
+    from khmer_tpu.ops.rollinghash import hash_cyclic_scalar
+
+    assert hash_cyclic_scalar('ACGTACGTACGTACGTACGT') == (
+        7799567892625678318, 13123155983167614967, 13123155983167614967)
+    assert hash_cyclic_scalar('TTTTTT') == (
+        13218220985018796895, 11878804279949710440, 1339416705069086455)
+    assert hash_cyclic_scalar('GATTACAGATTACAGATTACAGATTACAGATTACA') == (
+        16756336693072190462, 7513208593411347810, 9243128099660842652)
+
+
+def test_cyclic_counttable_uses_cyclic_hash():
+    import khmer_tpu as khmer
+    from khmer_tpu.ops.rollinghash import hash_cyclic_scalar
+
+    ct = khmer.CyclicCounttable(20, 1e4, 2)
+    ct.consume('ACGTACGTACGTACGTACGT')
+    assert ct.hash('ACGTACGTACGTACGTACGT') == \
+        hash_cyclic_scalar('ACGTACGTACGTACGTACGT')[0]
+    assert ct.get('ACGTACGTACGTACGTACGT') == 1
