@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from khmer_tpu._config import MAX_KCOUNT
+from khmer_tpu._config import MAX_BIGCOUNT, MAX_KCOUNT
 from khmer_tpu.io.fastx import FastxReader, Read
 from khmer_tpu.ops import encode as enc
 from khmer_tpu.ops.hashing import (
@@ -39,7 +39,8 @@ from khmer_tpu.ops.hashing import (
 from khmer_tpu.ops.rollinghash import kmer_hashes_cyclic_bytes
 from khmer_tpu.ops.sketch_ops import sketch_get, sketch_update
 from khmer_tpu.primes import get_n_primes_near_x
-from khmer_tpu.storage import BitStorage, ByteStorage, NibbleStorage
+from khmer_tpu.storage import (BitStorage, ByteStorage, NibbleStorage,
+                               QFStorage)
 
 U8 = jnp.uint8
 U32 = jnp.uint32
@@ -871,25 +872,139 @@ class CyclicCounttable(Hashtable):
 
 
 class QFCounttable(Hashtable):
-    """Quotient-filter-style counttable (graphs.pyx:413-452).
+    """Counting-quotient-filter counttable (graphs.pyx:413-452).
 
-    The reference wraps the CQF (third-party/cqf/gqf.c); here the
-    counting semantics are served by the shared uint32-bin engine with
-    a single power-of-two table (the CQF's slot count), murmur-hashed.
-    Counting behavior is API-compatible; the on-disk format uses the
-    shared OXLI byte layout rather than a raw qf struct dump."""
+    Counting semantics are EXACT per key over the CQF key space
+    `khash % (nslots * 256)`, matching qf_count_key_value bit-for-bit
+    (the CQF stores full quotient+remainder keys; see
+    storage.QFStorage).  The slot-shifting insert of gqf.c is replaced
+    by a sorted-dictionary merge; hashing still runs as the batched
+    device murmur kernel.  On-disk: SAVED_QFCOUNT header framing with
+    a sorted (key, count) payload instead of a raw qf block dump."""
 
-    storage_class = ByteStorage
+    storage_class = QFStorage
     hash_kind = "murmur"
 
     def __init__(self, k, size, slot_size=None):
+        k = int(k)
+        if k < 1 or k > 255:
+            raise ValueError("k-mer size must be in [1, 255]")
         size = int(size)
         if size & (size - 1):
             # round up to the next power of two (reference rounds the
             # number of slots to 2^ceil(log2(size)))
             size = 1 << (size - 1).bit_length()
         self.slot_size = slot_size  # MQF fixed-counter width (fork N5)
-        super().__init__(k, primes=[size])
+        self._ksize = k
+        self.storage = QFStorage(size, slot_size)
+
+    @staticmethod
+    def _can_use_native(parser_or_filename):
+        # the fused native->device consume kernel is bin-table-specific;
+        # QF consumes via the generic hashed-chunk path below
+        return False
+
+    def _run_consume(self, reads_iter, mask=None, threshold=0,
+                     num_bands=None, band=None):
+        """QF consume: hash chunks on device, aggregate into the
+        sorted dictionary (same exactness as the reference loop)."""
+        from khmer_tpu.ops.hashing import compute_band_interval
+
+        banded = num_bands is not None
+        if banded:
+            bmin, bmax = compute_band_interval(num_bands, band)
+
+        batcher = _FlatBatcher(self._ksize)
+        n_reads = 0
+        n_consumed = 0
+        st = self.storage
+
+        def run(data, weights):
+            hashes, w = _chunk_hashes_weights(
+                jnp.asarray(data), jnp.asarray(weights, U32),
+                self._ksize, self.hash_kind, ROW_PAYLOAD)
+            hashes = np.asarray(hashes)
+            w = np.asarray(w)
+            if banded:
+                w = w * ((hashes >= bmin) & (hashes < bmax))
+            if mask is not None:
+                mc = mask.storage.get_batch(hashes)
+                w = w * (np.asarray(mc) <= threshold)
+            st.add_batch_fast(hashes, w)
+
+        for read in reads_iter:
+            seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
+                else str(read)
+            n_reads += 1
+            if len(seq) >= self._ksize:
+                n_consumed += len(seq) - self._ksize + 1
+            codes = self._encode(seq)
+            for data, weights in batcher.add(codes):
+                run(data, weights)
+        tail = batcher.drain()
+        if tail is not None:
+            run(*tail)
+        return n_reads, n_consumed
+
+    def _hash_count_rows(self, sequences):
+        rows = self._hash_rows(sequences)
+        if not rows:
+            return []
+        flat = np.concatenate(rows) if rows else np.zeros(0, np.uint64)
+        counts = self.storage.get_batch(flat)
+        out = []
+        off = 0
+        for r in rows:
+            out.append((r, counts[off: off + r.shape[0]]))
+            off += r.shape[0]
+        return out
+
+    def median_at_least_batch(self, sequences, cutoff):
+        out = np.zeros(len(sequences), bool)
+        for i, (_, counts) in enumerate(self._hash_count_rows(sequences)):
+            n = counts.size
+            if n:
+                min_req = int(0.5 + n / 2.0)
+                out[i] = (counts >= cutoff).sum() >= min_req
+        return out
+
+    def abundance_distribution(self, parser_or_filename, tracking=None):
+        """Histogram of k-mer abundances with exact dedup (the QF's
+        distinct keys make a tracking bloom unnecessary)."""
+        dist = np.zeros(MAX_BIGCOUNT + 1, np.uint64)
+        seen = set()
+        batch = []
+
+        def drain():
+            if not batch:
+                return
+            for hashes, counts in self._hash_count_rows(batch):
+                for h, c in zip(hashes, counts):
+                    h = int(h)
+                    if h not in seen:
+                        seen.add(h)
+                        dist[int(c)] += 1
+            batch.clear()
+
+        for read in self._reads(parser_or_filename):
+            seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
+                else str(read)
+            if len(seq) >= self._ksize:
+                batch.append(seq)
+                if len(batch) >= 512:
+                    drain()
+        drain()
+        return [int(x) for x in dist]
+
+    abundance_distribution_with_reads_parser = abundance_distribution
+
+    def get_raw_tables(self):
+        # reference QFStorage::get_raw_tables returns nullptr
+        raise ValueError(
+            "get_raw_tables is not supported for QF tables")
+
+    def _post_load(self):
+        self.slot_size = None
 
 
 class BufferedQFCounttable(QFCounttable):

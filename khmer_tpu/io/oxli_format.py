@@ -107,8 +107,22 @@ def _check_header(f, filename, expected_type, kind="k-mer count"):
 
 
 def save_storage(filename, ksize, storage):
-    """Save a ByteStorage/BitStorage/NibbleStorage in OXLI format."""
+    """Save a Byte/Bit/Nibble/QF storage in OXLI format."""
     kind = storage.kind
+    if kind == "qf":
+        # SAVED_QFCOUNT framing follows the reference header
+        # (storage.cc:919-935: sig, version, type, 1-byte ksize); the
+        # payload is this port's sorted (key, count) dictionary rather
+        # than a raw MQF block dump (which encodes the same multiset).
+        keys, counts = storage.state_arrays()
+        with _open_out(filename) as f:
+            f.write(SAVED_SIGNATURE)
+            f.write(struct.pack("BBB", SAVED_FORMAT_VERSION,
+                                SAVED_QFCOUNT, int(ksize)))
+            f.write(struct.pack("<QQ", storage.nslots, keys.shape[0]))
+            f.write(np.ascontiguousarray(keys, np.uint64).tobytes())
+            f.write(np.ascontiguousarray(counts, np.uint64).tobytes())
+        return
     raw = storage.raw_bytes()
     sizes = storage.spec.tablesizes
     bpt = storage.spec.bytes_per_table
@@ -142,7 +156,8 @@ def save_storage(filename, ksize, storage):
 
 def load_storage(filename, expected_kinds=("byte", "bit", "nibble")):
     """Load an OXLI table file; returns (storage, ksize)."""
-    from khmer_tpu.storage import BitStorage, ByteStorage, NibbleStorage
+    from khmer_tpu.storage import (BitStorage, ByteStorage, NibbleStorage,
+                                   QFStorage)
 
     with _open_in(filename) as f:
         sig = _read_exact(f, 4, filename)
@@ -157,6 +172,21 @@ def load_storage(filename, expected_kinds=("byte", "bit", "nibble")):
                 "Incorrect file format version {} while reading k-mer file "
                 "from {}; should be {}".format(version, filename,
                                                SAVED_FORMAT_VERSION))
+        if ht_type == SAVED_QFCOUNT:
+            if "qf" not in expected_kinds:
+                raise OxliFileError(
+                    "Incorrect file format type {} while reading k-mer "
+                    "file from {}".format(ht_type, filename))
+            (ksize,) = struct.unpack("B", _read_exact(f, 1, filename))
+            nslots, n_entries = struct.unpack(
+                "<QQ", _read_exact(f, 16, filename))
+            keys = np.frombuffer(
+                _read_exact(f, 8 * n_entries, filename), np.uint64)
+            counts = np.frombuffer(
+                _read_exact(f, 8 * n_entries, filename), np.uint64)
+            store = QFStorage(nslots)
+            store.set_state_arrays(keys.copy(), counts.copy())
+            return store, ksize
         kind = {SAVED_COUNTING_HT: "byte", SAVED_HASHBITS: "bit",
                 SAVED_SMALLCOUNT: "nibble"}.get(ht_type)
         if kind is None or kind not in expected_kinds:

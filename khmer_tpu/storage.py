@@ -255,6 +255,195 @@ class NibbleStorage(Storage):
     kind = "nibble"
 
 
+class QFStorage:
+    """Counting-quotient-filter storage with the reference's counting
+    semantics (storage.hh:417-462 over third-party/cqf/gqf.c).
+
+    The CQF stores the full key (quotient + remainder), so it behaves
+    as an EXACT multiset over the key space `khash % range` where
+    range = nslots * 2^bits_per_slot (qf_init, gqf.c:1367-1398;
+    bits_per_slot = 8 for khmer's key_bits = q+8).  The slot-shifting
+    insert is inherently sequential, so the TPU-native equivalent is a
+    sorted (key, count) dictionary: batches are deduplicated with a
+    sort + segment-sum and merged into the sorted arrays; queries are
+    a vectorized binary search.  Counts are exact for every key —
+    bit-identical to qf_count_key_value — and get() applies the same
+    uint16 narrowing as the reference's BoundedCounterType return."""
+
+    kind = "qf"
+    supports_bigcount = False
+    MIN_FLUSH = 1 << 18
+
+    def __init__(self, size, slot_size=None):
+        import math
+
+        size = int(size)
+        if size <= 0 or size & (size - 1):
+            raise ValueError("QF size must be a power of two")
+        self.nslots = size
+        # key space per qf_init: range = nslots << bits_per_slot
+        self.range = np.uint64(size) * np.uint64(256)
+        # xnslots = nslots + 10*sqrt(nslots) (gqf.c:1372)
+        self.xnslots = size + int(10 * math.sqrt(size))
+        self.slot_size = slot_size  # MQF fixed-counter width (fork N5)
+        self._keys = np.zeros(0, np.uint64)
+        self._counts = np.zeros(0, np.uint64)
+        self._pending = []
+        self._pending_n = 0
+
+    # -- geometry ---------------------------------------------------------
+
+    def get_tablesizes(self):
+        # reference get_tablesizes returns {xnslots}
+        return [self.xnslots]
+
+    @property
+    def n_tables(self):
+        return 1
+
+    def n_occupied(self):
+        # reference: noccupied_slots; 1 slot per distinct key plus
+        # counter-escape slots for repeated keys — approximated by the
+        # dominant term (distinct keys)
+        self._flush()
+        return int(self._keys.shape[0])
+
+    def n_unique_kmers(self):
+        # reference: ndistinct_elts — exact here
+        self._flush()
+        return int(self._keys.shape[0])
+
+    def set_use_bigcount(self, b):
+        if b:
+            raise ValueError("bigcount is not supported for this storage "
+                             "type")
+
+    def get_use_bigcount(self):
+        return False
+
+    # -- update/query -----------------------------------------------------
+
+    def _reduce(self, keys, weights):
+        """Sort + segment-sum a raw (keys, weights) batch."""
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        weights = weights[order]
+        uniq, first = np.unique(keys, return_index=True)
+        sums = np.add.reduceat(weights, first)
+        return uniq, sums.astype(np.uint64)
+
+    def _flush(self):
+        if not self._pending:
+            return
+        keys = np.concatenate([k for k, _ in self._pending])
+        ws = np.concatenate([w for _, w in self._pending])
+        self._pending = []
+        self._pending_n = 0
+        uk, us = self._reduce(keys, ws)
+        if self._keys.shape[0] == 0:
+            self._keys, self._counts = uk, us
+            return
+        mk = np.concatenate([self._keys, uk])
+        mw = np.concatenate([self._counts, us])
+        self._keys, self._counts = self._reduce(mk, mw)
+
+    def _lookup(self, keys):
+        """Counts for already-reduced key values (exact)."""
+        if self._keys.shape[0] == 0:
+            return np.zeros(keys.shape, np.uint64)
+        idx = np.searchsorted(self._keys, keys)
+        idx = np.minimum(idx, self._keys.shape[0] - 1)
+        found = self._keys[idx] == keys
+        return np.where(found, self._counts[idx], np.uint64(0))
+
+    def add_batch(self, hashes, weights=None):
+        """Add a batch of hashes; returns per-lane was-new bools
+        (reference add: get_count() == 0 before the insert)."""
+        hashes = np.asarray(hashes, np.uint64).reshape(-1)
+        keys = hashes % self.range
+        if weights is None:
+            weights = np.ones(keys.shape, np.uint64)
+        else:
+            weights = np.asarray(weights, np.uint64).reshape(-1)
+            keep = weights > 0
+            if not keep.all():
+                keys = keys[keep]
+                weights = weights[keep]
+                hashes = hashes[keep]
+        self._flush()
+        # was-new per lane: absent from the table AND first occurrence
+        # of the key within this batch
+        present = self._lookup(keys) > 0
+        order = np.argsort(keys, kind="stable")
+        first_lane = np.zeros(keys.shape, bool)
+        sk = keys[order]
+        fmask = np.ones(sk.shape, bool)
+        fmask[1:] = sk[1:] != sk[:-1]
+        first_lane[order] = fmask
+        was_new = (~present) & first_lane
+        self._pending.append((keys, weights))
+        self._pending_n += keys.shape[0]
+        if self._pending_n >= max(self.MIN_FLUSH,
+                                  self._keys.shape[0] // 2):
+            self._flush()
+        return was_new
+
+    def add_batch_fast(self, hashes, weights=None):
+        """Bulk add without was-new accounting (consume hot path)."""
+        hashes = np.asarray(hashes, np.uint64).reshape(-1)
+        keys = hashes % self.range
+        if weights is None:
+            weights = np.ones(keys.shape, np.uint64)
+        else:
+            weights = np.asarray(weights, np.uint64).reshape(-1)
+            keep = weights > 0
+            if not keep.all():
+                keys = keys[keep]
+                weights = weights[keep]
+        self._pending.append((keys, weights))
+        self._pending_n += keys.shape[0]
+        if self._pending_n >= max(self.MIN_FLUSH,
+                                  self._keys.shape[0] // 2):
+            self._flush()
+
+    def add(self, khash):
+        return bool(self.add_batch(np.asarray([khash], np.uint64))[0])
+
+    def test_and_set_bits(self, khash):
+        return 1 if self.add(khash) else 0
+
+    def get_batch(self, hashes, with_bigcount=True):
+        """Counts (uint16-narrowed, matching BoundedCounterType)."""
+        del with_bigcount
+        self._flush()
+        hashes = np.asarray(hashes, np.uint64).reshape(-1)
+        counts = self._lookup(hashes % self.range)
+        return (counts & np.uint64(0xFFFF)).astype(np.uint16)
+
+    def get_batch_device(self, hashes):
+        return jnp.asarray(self.get_batch(np.asarray(hashes)))
+
+    def get(self, khash):
+        return int(self.get_batch(np.asarray([khash], np.uint64))[0])
+
+    get_count = get
+
+    def host_counts(self, hashes):
+        return self.get_batch(hashes)
+
+    # -- save/load payload ------------------------------------------------
+
+    def state_arrays(self):
+        self._flush()
+        return self._keys, self._counts
+
+    def set_state_arrays(self, keys, counts):
+        self._keys = np.asarray(keys, np.uint64)
+        self._counts = np.asarray(counts, np.uint64)
+        self._pending = []
+        self._pending_n = 0
+
+
 def storage_for_filetype(ht_type):
     from khmer_tpu.io import oxli_format as f
 
@@ -262,4 +451,5 @@ def storage_for_filetype(ht_type):
         f.SAVED_COUNTING_HT: ByteStorage,
         f.SAVED_HASHBITS: BitStorage,
         f.SAVED_SMALLCOUNT: NibbleStorage,
+        f.SAVED_QFCOUNT: QFStorage,
     }[ht_type]
