@@ -18,8 +18,17 @@ class HashSet:
     def __iter__(self):
         return iter(sorted(self.hashes))
 
-    def __contains__(self, h):
-        return int(h) in self.hashes
+    def __contains__(self, kmer):
+        # parity with hashset.pyx __contains__: ints pass through,
+        # Kmer objects use their canonical hash, strings use the
+        # (non-canonical) forward hash
+        if isinstance(kmer, str):
+            from khmer_tpu.ops.hashing import forward_hash_no_rc
+
+            return forward_hash_no_rc(kmer, self.ksize) in self.hashes
+        if hasattr(kmer, "kmer_u"):
+            return int(kmer.kmer_u) in self.hashes
+        return int(kmer) in self.hashes
 
     def add(self, h):
         self.hashes.add(int(h))
@@ -35,6 +44,9 @@ class HashSet:
             self.hashes.add(int(h))
 
     def __iadd__(self, other):
+        if self.ksize != getattr(other, "ksize", self.ksize):
+            raise ValueError("cannot concatenate HashSets with different "
+                             "ksize")
         self.update(other)
         return self
 

@@ -17,16 +17,47 @@ from khmer_tpu.ops.encode import clean_sequence
 
 
 class Read:
-    """A sequencing read (reference include/oxli/read_parsers.hh:102-138)."""
+    """A sequencing read (reference include/oxli/read_parsers.hh:102-138).
 
-    __slots__ = ("name", "sequence", "quality", "description", "_cleaned")
+    Mirrors the Cython Sequence/screed Record surface: attributes plus
+    dict-style access, and `quality` raising AttributeError when the
+    record has none (tests/test_read_parsers.py:60-66 relies on
+    `hasattr(read, 'quality')` being False for FASTA input)."""
+
+    __slots__ = ("name", "sequence", "_quality", "description", "_cleaned")
 
     def __init__(self, name="", sequence="", quality=None, description=""):
         self.name = name
         self.sequence = sequence
-        self.quality = quality
+        self._quality = quality
         self.description = description
         self._cleaned = None
+
+    @property
+    def quality(self):
+        if self._quality is None:
+            raise AttributeError("this read has no quality string")
+        return self._quality
+
+    @quality.setter
+    def quality(self, value):
+        self._quality = value
+
+    def __getitem__(self, key):
+        # screed.Record compatibility (sandbox scripts use record['name'])
+        if key in ("name", "sequence", "description", "quality",
+                   "cleaned_seq"):
+            try:
+                return getattr(self, key)
+            except AttributeError:
+                raise KeyError(key)
+        raise KeyError(key)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
 
     @property
     def cleaned_seq(self):
@@ -141,10 +172,10 @@ class FastxReader:
                     "invalid FASTQ record (missing '+') in {!r}".format(
                         self.filename))
             qual = stream.readline().strip()
-            if len(qual) != len(seq):
-                raise ValueError(
-                    "sequence and quality lengths differ in {!r}".format(
-                        self.filename))
+            # NOTE: a quality string whose length differs from the
+            # sequence is passed through unchanged — the reference's
+            # SeqAn readRecord does not enforce equality and its own
+            # test data (valid-read-testing.fq) relies on that
             self.num_reads += 1
             yield Read(name=name, sequence=seq.decode(),
                        quality=qual.decode())

@@ -419,7 +419,7 @@ class SubsetPartition:
                             n_partitions.add(pid)
                 if partition_id > 0 or output_unassigned:
                     seq = read.cleaned_seq
-                    if read.quality is not None:
+                    if getattr(read, 'quality', None) is not None:
                         out.write("@%s\t%d\n%s\n+\n%s\n" % (
                             read.name, partition_id, seq, read.quality))
                     else:

@@ -116,6 +116,15 @@ class ThreadedSequenceProcessor(object):
             self.inqueue.put(SequenceGroup(0, batch))
 
     def do_process(self):
+        try:
+            self._do_process()
+        finally:
+            # always decrement, even if process_fn raised — otherwise
+            # the writer never observes worker_count hitting zero
+            with self.worker_count_lock:
+                self.worker_count -= 1
+
+    def _do_process(self):
         inq = self.inqueue
 
         while not self.done or not inq.empty():
@@ -151,9 +160,6 @@ class ThreadedSequenceProcessor(object):
                           (self.n_processed, self.n_written,
                            self.n_processed - self.n_written),
                           file=sys.stderr)
-
-        with self.worker_count_lock:
-            self.worker_count -= 1
 
     def do_write(self, outfp):
         outq = self.outqueue

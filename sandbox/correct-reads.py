@@ -136,7 +136,7 @@ def main():
             if new_seq != read.sequence:
                 corrected_reads += 1
             read.sequence = new_seq
-            if read.quality is not None:
+            if getattr(read, 'quality', None) is not None:
                 fix_quality(read)
         write_record(read, corrfp)
         written_reads += 1

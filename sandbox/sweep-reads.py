@@ -186,7 +186,8 @@ def main():
 
     # figure out input file type (FA/FQ) -- based on first file
     record = next(iter(FastxReader(args.input_files[0])))
-    extension = 'fq' if record.quality is not None else 'fa'
+    extension = 'fq' if getattr(record, 'quality', None) is not None \
+        else 'fa'
 
     output_buffer = ReadBufferManager(
         args.max_buffers, args.max_reads, args.buffer_size,
@@ -260,7 +261,7 @@ def main():
                     label_dict['multi'] += 1
                 else:
                     label_dict[labels[0]] += 1
-                if record.quality is not None:
+                if getattr(record, 'quality', None) is not None:
                     seq_str = fmt_fastq(name, seq, record.quality, labels)
                 else:
                     seq_str = fmt_fasta(name, seq, labels)

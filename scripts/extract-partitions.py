@@ -96,7 +96,7 @@ def main():
     # sniff format from the first read
     is_fastq = None
     for read, _ in partitioned_reads(args.part_filenames[:1]):
-        is_fastq = read.quality is not None
+        is_fastq = getattr(read, 'quality', None) is not None
         break
     suffix = 'fq' if is_fastq else 'fa'
 
