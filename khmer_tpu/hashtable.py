@@ -125,11 +125,14 @@ def _chunk_hashes_weights(data, weights, k, hash_kind, payload):
 
 
 @lru_cache(maxsize=None)
-def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False):
+def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False,
+                     consume_masked=False):
     """Fused hash+scatter update kernel over a flat chunk.
 
     from_codes: the chunk carries 2-bit codes (native loader output)
-    rather than ASCII bytes; only relevant for the murmur path."""
+    rather than ASCII bytes; only relevant for the byte-hash paths.
+    consume_masked: invert the mask test (count k-mers whose mask
+    count is >= threshold instead of <=; hashtable.cc:186)."""
 
     def fn(table, occ, uniq, data, weights, *extra):
         if from_codes and hash_kind != "2bit":
@@ -149,8 +152,18 @@ def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False):
         if masked is not None:
             mask_table, threshold = extra[i], extra[i + 1]
             mc = sketch_get(masked, mask_table, hashes)
-            w = w * (mc.astype(U32) <= threshold).astype(U32)
-        return sketch_update(spec, table, occ, uniq, hashes, w)
+            if consume_masked:
+                keep = mc.astype(U32) >= threshold
+            else:
+                keep = mc.astype(U32) <= threshold
+            w = w * keep.astype(U32)
+        table, occ, uniq, aux = sketch_update(
+            spec, table, occ, uniq, hashes, w)
+        # reference counts only the k-mers that passed the filters
+        # (this_n_consumed, hashtable.cc:181-191)
+        aux = dict(aux)
+        aux["consumed"] = jnp.sum(w.astype(U64))
+        return table, occ, uniq, aux
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -392,8 +405,8 @@ class Hashtable:
 
     def reverse_hash(self, khash):
         if self.hash_kind != "2bit":
-            raise ValueError(
-                "reverse_hash is only supported for 2-bit exact tables")
+            # reference raises "not implemented" (hashtable.hh:468-472)
+            raise ValueError("not implemented")
         return reverse_hash(khash, self._ksize)
 
     def get_kmer_hashes(self, sequence):
@@ -503,16 +516,18 @@ class Hashtable:
         return int(hashes.shape[0])
 
     def _run_consume(self, reads_iter, mask=None, threshold=0,
-                     num_bands=None, band=None):
+                     num_bands=None, band=None, consume_masked=False):
         """Shared driver for consume_seqfile* variants.
 
-        Returns (n_reads, n_consumed)."""
+        Returns (n_reads, n_consumed); n_consumed counts the k-mers
+        that passed the band/mask filters (reference semantics)."""
         from khmer_tpu.ops.hashing import compute_band_interval
 
         banded = num_bands is not None
         masked_spec = mask.storage._read_spec() if mask is not None else None
         fn = _make_consume_fn(self.storage._read_spec(), self._ksize,
-                              self.hash_kind, masked_spec, banded)
+                              self.hash_kind, masked_spec, banded,
+                              consume_masked=consume_masked)
         extra = []
         if banded:
             bmin, bmax = compute_band_interval(num_bands, band)
@@ -523,16 +538,17 @@ class Hashtable:
         st = self.storage
         batcher = _FlatBatcher(self._ksize)
         n_reads = 0
-        n_consumed = 0
         table, uniq = st.table, st._n_unique
         occ = jnp.zeros((), U64)
+        consumed = jnp.zeros((), U64)
         auxes = []
 
         def run(data, weights):
-            nonlocal table, occ, uniq
+            nonlocal table, occ, uniq, consumed
             table, occ, uniq, aux = fn(
                 table, occ, uniq, jnp.asarray(data), jnp.asarray(weights),
                 *extra)
+            consumed = consumed + aux["consumed"]
             if st.get_use_bigcount() and "bigcount_hashes" in aux:
                 auxes.append(aux)
 
@@ -540,8 +556,6 @@ class Hashtable:
             seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
                 else str(read)
             n_reads += 1
-            if len(seq) >= self._ksize:
-                n_consumed += len(seq) - self._ksize + 1
             codes = self._encode(seq)
             for data, weights in batcher.add(codes):
                 run(data, weights)
@@ -553,7 +567,7 @@ class Hashtable:
         st._loaded_occupied = None
         for aux in auxes:
             st._track_bigcount_aux(aux)
-        return n_reads, n_consumed
+        return n_reads, int(consumed)
 
     def _reads(self, parser_or_filename):
         if isinstance(parser_or_filename, str):
@@ -614,11 +628,12 @@ class Hashtable:
         return int(n_reads), int(n_consumed)
 
     def consume_seqfile_with_mask(self, parser_or_filename, mask,
-                                  threshold=0):
-        """Count k-mers whose count in `mask` is <= threshold
-        (hashtable.cc:160-198)."""
+                                  threshold=0, consume_masked=False):
+        """Count k-mers whose count in `mask` is <= threshold (or >=
+        threshold with consume_masked=True; hashtable.cc:160-198)."""
         return self._run_consume(self._reads(parser_or_filename),
-                                 mask=mask, threshold=threshold)
+                                 mask=mask, threshold=threshold,
+                                 consume_masked=consume_masked)
 
     def consume_seqfile_banding(self, parser_or_filename, num_bands, band):
         """Count only k-mers whose hash falls in the given band
@@ -628,10 +643,12 @@ class Hashtable:
 
     def consume_seqfile_banding_with_mask(self, parser_or_filename,
                                           num_bands, band, mask,
-                                          threshold=0):
+                                          threshold=0,
+                                          consume_masked=False):
         return self._run_consume(self._reads(parser_or_filename),
                                  mask=mask, threshold=threshold,
-                                 num_bands=num_bands, band=band)
+                                 num_bands=num_bands, band=band,
+                                 consume_masked=consume_masked)
 
     # -- per-sequence statistics ------------------------------------------------
 
@@ -905,7 +922,7 @@ class QFCounttable(Hashtable):
         return False
 
     def _run_consume(self, reads_iter, mask=None, threshold=0,
-                     num_bands=None, band=None):
+                     num_bands=None, band=None, consume_masked=False):
         """QF consume: hash chunks on device, aggregate into the
         sorted dictionary (same exactness as the reference loop)."""
         from khmer_tpu.ops.hashing import compute_band_interval
@@ -920,6 +937,7 @@ class QFCounttable(Hashtable):
         st = self.storage
 
         def run(data, weights):
+            nonlocal n_consumed
             hashes, w = _chunk_hashes_weights(
                 jnp.asarray(data), jnp.asarray(weights, U32),
                 self._ksize, self.hash_kind, ROW_PAYLOAD)
@@ -928,16 +946,18 @@ class QFCounttable(Hashtable):
             if banded:
                 w = w * ((hashes >= bmin) & (hashes < bmax))
             if mask is not None:
-                mc = mask.storage.get_batch(hashes)
-                w = w * (np.asarray(mc) <= threshold)
+                mc = np.asarray(mask.storage.get_batch(hashes))
+                if consume_masked:
+                    w = w * (mc >= threshold)
+                else:
+                    w = w * (mc <= threshold)
+            n_consumed += int(w.sum())
             st.add_batch_fast(hashes, w)
 
         for read in reads_iter:
             seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
                 else str(read)
             n_reads += 1
-            if len(seq) >= self._ksize:
-                n_consumed += len(seq) - self._ksize + 1
             codes = self._encode(seq)
             for data, weights in batcher.add(codes):
                 run(data, weights)
