@@ -79,51 +79,73 @@ def check_is_right(name):
 def broken_paired_reader(screed_iter, min_length=None, force_single=False,
                          require_paired=False):
     """Yield (n, is_pair, read1, read2) over a possibly broken-paired
-    stream (parity: reference khmer/utils.py broken_paired_reader).
+    stream (parity: the Cython BrokenPairedReader, parsing.pyx:316-417;
+    the reference's py-level khmer/utils.py copy was superseded by it).
 
-    `n` counts records consumed from the stream (pairs advance it by 2).
-    Reads shorter than `min_length` are dropped (pairs only when both are
-    short unless require_paired)."""
+    `n` counts records consumed from the stream (a pair advances it by
+    2).  Reads shorter than `min_length` are dropped individually —
+    a pair with one short mate yields with that slot set to None and
+    `is_pair` False."""
     if force_single and require_paired:
         raise ValueError("force_single and require_paired cannot both be set!")
 
-    record = None
-    prev_record = None
-    num = 0
+    it = iter(screed_iter)
+    lookahead = None
+    read_num = 0
 
-    for record in screed_iter:
-        if prev_record:
-            if check_is_pair(prev_record, record) and not force_single:
-                if min_length and (len(prev_record.sequence) < min_length or
-                                   len(record.sequence) < min_length):
-                    if require_paired:
-                        record = None
-                else:
-                    yield num, True, prev_record, record
-                    num += 2
-                    record = None
-            else:  # orphan.
+    while True:
+        # fetch the next 1-2 records (parsing.pyx _next, :370-417)
+        if lookahead is None:
+            first = next(it, None)
+            if first is None:
+                return
+        else:
+            first = lookahead
+            lookahead = None
+
+        second = next(it, None)
+        if second is not None:
+            is_pair = check_is_pair(first, second)
+            if is_pair and not force_single:
+                found = 2
+            else:  # orphan
                 if require_paired:
                     raise UnpairedReadsError(
                         "Unpaired reads when require_paired is set!",
-                        prev_record, record)
-                if min_length and len(prev_record.sequence) < min_length:
-                    pass
-                else:
-                    yield num, False, prev_record, None
-                    num += 1
-        prev_record = record
-        record = None
-
-    if prev_record:
-        if require_paired:
-            raise UnpairedReadsError(
-                "Unpaired reads when require_paired is set!", prev_record,
-                None)
-        if min_length and len(prev_record.sequence) < min_length:
-            pass
+                        first, second)
+                lookahead = second
+                second = None
+                found = 1
         else:
-            yield num, False, prev_record, None
+            if require_paired:
+                raise UnpairedReadsError(
+                    "Unpaired reads when require_paired is set!",
+                    first, None)
+            found = 1
+
+        if min_length and min_length > 0:
+            if first is not None and len(first.sequence) < min_length:
+                first = None
+                found -= 1
+            if second is not None and len(second.sequence) < min_length:
+                second = None
+                found -= 1
+
+        if force_single:
+            if first is not None:
+                yield read_num, found == 2, first, None
+                read_num += found
+            if second is not None:
+                yield read_num, found == 2, second, None
+                read_num += found
+        elif require_paired:
+            if first is not None and second is not None:
+                yield read_num, found == 2, first, second
+                read_num += found
+        else:
+            if first is not None or second is not None:
+                yield read_num, found == 2, first, second
+                read_num += found
 
 
 def clean_input_reads(records):
