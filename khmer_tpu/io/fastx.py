@@ -24,13 +24,13 @@ class Read:
     record has none (tests/test_read_parsers.py:60-66 relies on
     `hasattr(read, 'quality')` being False for FASTA input)."""
 
-    __slots__ = ("name", "sequence", "_quality", "description", "_cleaned")
+    __slots__ = ("name", "sequence", "_quality", "_description", "_cleaned")
 
-    def __init__(self, name="", sequence="", quality=None, description=""):
+    def __init__(self, name, sequence, quality=None, description=None):
         self.name = name
         self.sequence = sequence
         self._quality = quality
-        self.description = description
+        self._description = description or None
         self._cleaned = None
 
     @property
@@ -42,6 +42,16 @@ class Read:
     @quality.setter
     def quality(self, value):
         self._quality = value
+
+    @property
+    def description(self):
+        if self._description is None:
+            raise AttributeError("this read has no description")
+        return self._description
+
+    @description.setter
+    def description(self, value):
+        self._description = value
 
     def __getitem__(self, key):
         # screed.Record compatibility (sandbox scripts use record['name'])
@@ -97,6 +107,12 @@ def _open_stream(filename):
         return gzip.open(f, "rb")
     if magic == b"BZh":
         return bz2.open(f, "rb")
+    if isinstance(filename, str) and \
+            filename.endswith((".gz", ".bz2")) and len(magic) < 3:
+        # an empty/truncated file with a compressed extension is an
+        # error (the reference's SeqAn decompressor fails on these)
+        raise OSError(
+            "empty or corrupt compressed file {!r}".format(filename))
     return f
 
 
@@ -117,77 +133,165 @@ def sniff_filetype(filename):
 
 
 class FastxReader:
-    """Streaming FASTA/FASTQ reader yielding Read objects."""
+    """Streaming FASTA/FASTQ reader yielding Read objects.
+
+    A shared iterator like the reference ReadParser
+    (read_parsers.hh:142-182): iter(p) is p, multiple threads may pull
+    reads from one instance (a lock replaces the reference's
+    spin-lock), and iter_read_pairs supports the IGNORE/ERROR pairing
+    modes."""
+
+    PAIR_MODE_IGNORE_UNPAIRED = 0
+    PAIR_MODE_ERROR_ON_UNPAIRED = 1
 
     def __init__(self, filename):
+        import threading
+
         self.filename = filename
         self._stream = _open_stream(filename)
         self.num_reads = 0
+        self._lock = threading.Lock()
+        self._format = None      # resolved on first read
+        self._pending = None     # lookahead header line
+        self._done = False
+
+    # -- iteration --------------------------------------------------------
 
     def __iter__(self):
-        stream = self._stream
-        # peek at first non-empty line to pick the format
-        first = stream.readline()
-        while first in (b"\n", b"\r\n"):
-            first = stream.readline()
-        if not first:
-            return
-        if first.startswith(b">"):
-            yield from self._iter_fasta(first, stream)
-        elif first.startswith(b"@"):
-            yield from self._iter_fastq(first, stream)
-        else:
-            raise ValueError(
-                "unknown sequence format in {!r}".format(self.filename))
+        return self
 
-    def _iter_fasta(self, header, stream):
+    def iter_reads(self):
+        return self
+
+    def __next__(self):
+        with self._lock:
+            read = self._next_locked()
+        if read is None:
+            raise StopIteration
+        return read
+
+    def is_complete(self):
+        return self._done
+
+    def _readline(self):
+        try:
+            return self._stream.readline()
+        except EOFError as err:
+            raise OSError("truncated compressed stream in {!r}: {}".format(
+                self.filename, err))
+
+    def _next_locked(self):
+        if self._done:
+            return None
+        if self._format is None:
+            first = self._readline()
+            while first in (b"\n", b"\r\n"):
+                first = self._readline()
+            if not first:
+                self._done = True
+                return None
+            if first.startswith(b">"):
+                self._format = "fasta"
+            elif first.startswith(b"@"):
+                self._format = "fastq"
+            else:
+                raise ValueError(
+                    "unknown sequence format in {!r}".format(self.filename))
+            self._pending = first
+        if self._format == "fasta":
+            return self._next_fasta()
+        return self._next_fastq()
+
+    def _next_fasta(self):
+        header = self._pending
+        self._pending = None
+        if header is None:
+            header = self._readline()
+        while header in (b"\n", b"\r\n"):
+            header = self._readline()
+        if not header:
+            self._done = True
+            return None
         name = header[1:].strip().decode()
         chunks = []
-        for line in stream:
-            if line.startswith(b">"):
-                self.num_reads += 1
-                yield self._make_read(name, b"".join(chunks))
-                name = line[1:].strip().decode()
-                chunks = []
-            else:
-                chunks.append(line.strip())
+        line = self._readline()
+        while line and not line.startswith(b">"):
+            chunks.append(line.strip())
+            line = self._readline()
+        self._pending = line or None
+        if self._pending is None:
+            self._done = True
         self.num_reads += 1
-        yield self._make_read(name, b"".join(chunks))
+        return Read(name=name, sequence=b"".join(chunks).decode())
 
-    def _iter_fastq(self, header, stream):
-        while True:
-            if not header:
-                return
-            if header in (b"\n", b"\r\n"):
-                header = stream.readline()
-                continue
-            if not header.startswith(b"@"):
-                raise ValueError(
-                    "invalid FASTQ record in {!r}".format(self.filename))
-            name = header[1:].strip().decode()
-            seq = stream.readline().strip()
-            plus = stream.readline()
-            if not plus.startswith(b"+"):
-                raise ValueError(
-                    "invalid FASTQ record (missing '+') in {!r}".format(
-                        self.filename))
-            qual = stream.readline().strip()
-            # NOTE: a quality string whose length differs from the
-            # sequence is passed through unchanged — the reference's
-            # SeqAn readRecord does not enforce equality and its own
-            # test data (valid-read-testing.fq) relies on that
-            self.num_reads += 1
-            yield Read(name=name, sequence=seq.decode(),
-                       quality=qual.decode())
-            header = stream.readline()
+    def _next_fastq(self):
+        header = self._pending
+        self._pending = None
+        if header is None:
+            header = self._readline()
+        while header in (b"\n", b"\r\n"):
+            header = self._readline()
+        if not header:
+            self._done = True
+            return None
+        if not header.startswith(b"@"):
+            raise ValueError(
+                "invalid FASTQ record in {!r}".format(self.filename))
+        name = header[1:].strip().decode()
+        seq = self._readline().strip()
+        if not seq or seq.startswith(b"+"):
+            # a header with no sequence line (truncated file)
+            raise ValueError("Sequence is empty")
+        plus = self._readline()
+        if not plus.startswith(b"+"):
+            raise ValueError(
+                "invalid FASTQ record (missing '+') in {!r}".format(
+                    self.filename))
+        qual = self._readline().strip()
+        # NOTE: a quality string whose length differs from the
+        # sequence is passed through unchanged — the reference's
+        # SeqAn readRecord does not enforce equality and its own
+        # test data (valid-read-testing.fq) relies on that
+        self.num_reads += 1
+        return Read(name=name, sequence=seq.decode(),
+                    quality=qual.decode())
 
-    @staticmethod
-    def _make_read(name, seq_bytes):
-        return Read(name=name, sequence=seq_bytes.decode())
+    # -- pair iteration (read_parsers.cc:60-154) --------------------------
+
+    def iter_read_pairs(self, mode=PAIR_MODE_ERROR_ON_UNPAIRED):
+        from khmer_tpu.utils import check_is_left, check_is_right
+
+        if mode == self.PAIR_MODE_ERROR_ON_UNPAIRED:
+            while True:
+                try:
+                    first = next(self)
+                    second = next(self)
+                except StopIteration:
+                    return
+                if not check_is_left(first.name) or \
+                        not check_is_right(second.name):
+                    raise ValueError(
+                        "Invalid read pair: {} / {}".format(
+                            first.name, second.name))
+                yield first, second
+        elif mode == self.PAIR_MODE_IGNORE_UNPAIRED:
+            prev = None
+            for read in self:
+                if prev is not None:
+                    from khmer_tpu.utils import check_is_pair
+
+                    if check_is_pair(prev, read):
+                        yield prev, read
+                        prev = None
+                        continue
+                prev = read
+        else:
+            raise ValueError("unknown pair reading mode {}".format(mode))
 
     def close(self):
         if self._stream not in (sys.stdin.buffer,):
             self._stream.close()
+        self._done = True
 
 
 def open_reads(filename):

@@ -125,15 +125,16 @@ class SanitizedFastxParser(FastxReader):
         self.n_bad = 0
         self._alphabet = Alphabets.get(alphabet)
 
-    def __iter__(self):
-        for read in super().__iter__():
+    def __next__(self):
+        while True:
+            read = super().__next__()
             clean = _sanitize(read.sequence, self._alphabet,
                               self.convert_n)
             if clean is None:
                 self.n_bad += 1
                 continue
             read.sequence = clean
-            yield read
+            return read
 
 
 class BrokenPairedReader:

@@ -1,0 +1,294 @@
+"""ReadParser/Read tests ported from the reference
+tests/test_read_parsers.py."""
+
+import os
+import threading
+from functools import reduce  # noqa: F401
+
+import pytest
+
+from khmer_tpu import Read, ReadParser
+
+from .conftest import REF_TEST_DATA
+
+
+def _data(name):
+    return os.path.join(REF_TEST_DATA, name)
+
+
+def test_read_type_basic():
+    # Constructing without mandatory arguments should raise
+    with pytest.raises(TypeError):
+        Read()
+
+    name = "895:1:1:1246:14654 1:N:0:NNNNN"
+    sequence = "ACGT"
+    r = Read(name, sequence)
+
+    assert r.name == name
+    assert r.sequence == sequence
+    assert not hasattr(r, 'quality'), r
+    assert not hasattr(r, 'description'), r
+
+
+def test_read_quality_none():
+    r = Read(name="test", sequence="ACGT", quality=None)
+    assert not hasattr(r, 'quality')
+
+
+def test_read_type_attributes():
+    r = Read(sequence='ACGT', quality='good', name='1234',
+             description='desc')
+    assert r.sequence == 'ACGT'
+    assert r.cleaned_seq == 'ACGT'
+    assert r.quality == 'good'
+    assert r.name == '1234'
+    assert r.description == 'desc'
+
+
+def test_read_type_cleaned_seq():
+    r = Read(sequence='acgtnN', name='1234')
+    assert r.sequence == 'acgtnN'
+    assert r.cleaned_seq == 'ACGTAA'
+
+
+def test_read_properties():
+    rparser = ReadParser(_data("single-read.fq"))
+
+    for read in rparser:
+        assert read.name == "895:1:1:1246:14654 1:N:0:NNNNN"
+        assert read.sequence == "CAGGCGCCCACCACCGTGCCCTCCAACCTGATGGT"
+        assert read.quality == """][aaX__aa[`ZUZ[NONNFNNNNNO_____^RQ_"""
+
+
+def test_read_properties_fa():
+    rparser = ReadParser(_data("single-read.fa"))
+
+    for read in rparser:
+        assert read.name == "895:1:1:1246:14654 1:N:0:NNNNN"
+        assert read.sequence == "CAGGCGCCCACCACCGTGCCCTCCAACCTGATGGT"
+        # if an attribute is empty it shouldn't exist
+        assert not hasattr(read, 'quality')
+
+
+def test_with_default_arguments():
+    read_names = []
+    # reads in this file are named by integers on [0, 99)
+    rparser = ReadParser(_data("random-20-a.fa"))
+
+    for read in rparser:
+        read_names.append(int(read.name))
+
+    read_names.sort()
+
+    for m, n in enumerate(read_names):
+        assert m == n
+
+
+def test_num_reads():
+    """Test ReadParser.num_reads"""
+    reads_count = 0
+    rparser = ReadParser(_data("100-reads.fq.gz"))
+    for _ in rparser:
+        reads_count += 1
+
+    assert reads_count == 100
+    assert rparser.num_reads == 100
+
+
+def test_num_reads_threads():
+    """Test threadsafety of ReadParser's read counting"""
+
+    def count_reads(rparser):
+        for _ in rparser:
+            pass
+
+    n_threads = 4
+    threads = []
+    rparser = ReadParser(_data("100-reads.fq.gz"))
+    for _ in range(n_threads):
+        thr = threading.Thread(target=count_reads, args=[rparser, ])
+        threads.append(thr)
+        thr.start()
+    for thr in threads:
+        thr.join()
+
+    assert rparser.num_reads == 100
+
+
+def test_num_reads_truncated():
+    n_reads = 0
+    rparser = ReadParser(_data("truncated.fq"))
+    try:
+        for _ in rparser:
+            n_reads += 1
+    except ValueError as err:
+        assert "Sequence is empty" in str(err), str(err)
+    assert rparser.num_reads == 1, "%d valid reads in file, got %d" % (
+        n_reads, rparser.num_reads)
+
+
+def test_gzip_decompression():
+    reads_count = 0
+    rparser = ReadParser(_data("100-reads.fq.gz"))
+    for _ in rparser:
+        reads_count += 1
+
+    assert 100 == reads_count
+
+
+def test_gzip_decompression_truncated():
+    rparser = ReadParser(_data("100-reads.fq.truncated.gz"))
+    try:
+        for _ in rparser:
+            pass
+        assert 0, "this should fail"
+    except (OSError, ValueError) as err:
+        print(str(err))
+
+
+def test_gzip_decompression_truncated_pairiter():
+    rparser = ReadParser(_data("100-reads.fq.truncated.gz"))
+    try:
+        for _ in rparser.iter_read_pairs():
+            pass
+        assert 0, "this should fail"
+    except (OSError, ValueError) as err:
+        print(str(err))
+
+
+def test_bzip2_decompression():
+    reads_count = 0
+    rparser = ReadParser(_data("100-reads.fq.bz2"))
+    for _ in rparser:
+        reads_count += 1
+
+    assert 100 == reads_count
+
+
+def test_bzip2_decompression_truncated():
+    rparser = ReadParser(_data("100-reads.fq.truncated.bz2"))
+    try:
+        for _ in rparser:
+            pass
+        assert 0, "this should fail"
+    except (OSError, ValueError, EOFError) as err:
+        print(str(err))
+
+
+def test_bzip2_decompression_truncated_pairiter():
+    rparser = ReadParser(_data("100-reads.fq.truncated.bz2"))
+    try:
+        for _ in rparser.iter_read_pairs():
+            pass
+        assert 0, "this should fail"
+    except (OSError, ValueError, EOFError) as err:
+        print(str(err))
+
+
+def test_badbzip2():
+    try:
+        rparser = ReadParser(_data("test-empty.fa.bz2"))
+        for _ in rparser:
+            pass
+        assert 0, "this should fail"
+    except (OSError, ValueError) as err:
+        print(str(err))
+
+
+def test_with_multiple_threads(testfile="test-reads.fq.bz2"):
+    import operator
+
+    reads_count_1thr = 0
+    rparser = ReadParser(_data(testfile))
+    for _ in rparser:
+        reads_count_1thr += 1
+
+    def count_reads(rparser, counters, tnum):
+        counters[tnum] = reduce(operator.add, (1 for read in rparser), 0)
+
+    N_THREADS = 4
+    threads = []
+    reads_counts_per_thread = [0] * N_THREADS
+    rparser = ReadParser(_data(testfile))
+    for tnum in range(N_THREADS):
+        t = threading.Thread(
+            target=count_reads,
+            args=[rparser, reads_counts_per_thread, tnum])
+        threads.append(t)
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert reads_count_1thr == sum(reads_counts_per_thread), \
+        reads_counts_per_thread
+
+
+def test_read_truncated():
+    rparser = ReadParser(_data("truncated.fq"))
+    try:
+        for _ in rparser:
+            pass
+        assert 0, "No exception raised on a truncated file"
+    except ValueError as err:
+        assert "Sequence is empty" in str(err), str(err)
+
+
+def test_iterator_identities():
+    rparser = ReadParser(_data("test-abund-read-paired.fa"))
+    assert rparser is rparser.__iter__()
+    assert rparser is rparser.iter_reads()
+
+
+def test_read_pair_iterator_in_error_mode_xfail():
+    rparser = ReadParser(_data("test-abund-read-impaired.fa"))
+
+    failed = True
+    try:
+        for _ in rparser.iter_read_pairs():
+            pass
+        failed = False
+    except ValueError as exc:
+        assert "Invalid read pair" in str(exc), str(exc)
+    assert failed
+
+
+def test_read_pair_iterator_in_ignore_mode():
+    rparser = ReadParser(_data("test-abund-read-impaired.fa"))
+
+    read_pairs = []
+    for read_1, read_2 in rparser.iter_read_pairs(
+            ReadParser.PAIR_MODE_IGNORE_UNPAIRED):
+        read_pairs.append([read_1, read_2])
+        assert read_1.name[: 19] == read_2.name[: 19]
+    assert 2 == len(read_pairs)
+
+
+def test_iternext():
+    # a non-FASTX text file yields no valid pairs (this port raises an
+    # unknown-format ValueError where SeqAn silently yields nothing)
+    rparser = ReadParser(_data("fakelump.fa.stoptags.txt"))
+    read_pairs = []
+    try:
+        for read_1, read_2 in rparser.iter_read_pairs():
+            read_pairs.append((read_1, read_2))
+    except ValueError as err:
+        print(str(err))
+    assert 0 == len(read_pairs)
+
+
+def test_clean_seq():
+    for read in ReadParser(_data("valid-read-testing.fq")):
+        clean = read.sequence.upper()
+        for invalid in 'RYBDKVHSWN':
+            clean = clean.replace(invalid, 'A')
+        assert clean == read.cleaned_seq or 'Z' in read.sequence or \
+            'Y' in read.sequence
+
+
+def test_error_file_does_not_exist():
+    try:
+        ReadParser(_data("all-your-base"))
+        assert 0, "this should fail"
+    except OSError as err:
+        print(str(err))
