@@ -71,17 +71,34 @@ def main():
 
     total_coverage = 0.
     n = 0
+    BATCH = 256
 
-    for index, filename in enumerate(filenames):
-        for record in FastxReader(filename):
-            seq = record.cleaned_seq
-            if len(seq) < args.ksize:
-                continue
+    import numpy as np
 
-            try:
+    def process_batch(records):
+        """Sequential-exact batched version of the reference's
+        per-read loop: stale medians are exact unless the read
+        overlaps k-mers consumed earlier in the batch (counts only
+        grow), in which case pending consumes flush and the median is
+        re-queried live.  Returns True when coverage target is hit."""
+        nonlocal total_coverage, n
+        seqs = [r.cleaned_seq for r in records]
+        hash_rows = htable._hash_rows(seqs)
+        meds = htable.get_median_count_batch(seqs)
+        seen = set()
+        pending = []
+
+        def flush():
+            if pending:
+                rows = htable._hash_rows(pending)
+                htable.storage.add_batch(np.concatenate(rows))
+                pending.clear()
+
+        for record, seq, row, (med, _, _) in zip(records, seqs,
+                                                 hash_rows, meds):
+            if seen and any(int(h) in seen for h in row):
+                flush()
                 med, _, _ = htable.get_median_count(seq)
-            except ValueError:
-                continue
 
             total_coverage += med
             n += 1
@@ -89,17 +106,36 @@ def main():
             if total_coverage / float(n) > args.coverage:
                 print('reached target average coverage:',
                       total_coverage / float(n), file=sys.stderr)
-                break
+                flush()
+                return True
 
-            htable.consume(seq)
+            pending.append(seq)
+            seen.update(int(h) for h in row)
             if args.output:
                 args.output.write(output_single(record))
 
             if n % 100000 == 0:
-                print('...', index, filename, n,
-                      total_coverage / float(n), file=sys.stderr)
+                print('...', n, total_coverage / float(n),
+                      file=sys.stderr)
+        flush()
+        return False
 
-        if total_coverage / float(max(n, 1)) > args.coverage:
+    done = False
+    for index, filename in enumerate(filenames):
+        batch = []
+        for record in FastxReader(filename):
+            seq = record.cleaned_seq
+            if len(seq) < args.ksize:
+                continue
+            batch.append(record)
+            if len(batch) >= BATCH:
+                done = process_batch(batch)
+                batch = []
+                if done:
+                    break
+        if not done and batch:
+            done = process_batch(batch)
+        if done:
             break
 
     print('Collected %d reads' % (n,), file=sys.stderr)

@@ -92,6 +92,11 @@ def main():
     info('correct-reads.py', ['streaming'])
     args = sanitize_help(get_parser()).parse_args()
 
+    if len(set(args.input_filenames)) != len(args.input_filenames):
+        print("Error: Cannot input the same filename multiple times.",
+              file=sys.stderr)
+        sys.exit(1)
+
     NORMALIZE_LIMIT = args.normalize_to
 
     check_valid_file_exists(args.input_filenames)
@@ -227,6 +232,14 @@ def main():
     if args.variable_coverage:
         print('skipped %d reads/%d bases because of low coverage'
               % (skipped_n, skipped_bp), file=sys.stderr)
+
+    fp_rate = \
+        khmer.calc_expected_collisions(ct, args.force, max_false_pos=.8)
+    # for max_false_pos see Zhang et al., http://arxiv.org/abs/1309.2975
+    print('fp rate estimated to be {fpr:1.3f}'.format(fpr=fp_rate),
+          file=sys.stderr)
+
+    print('output in *.corr', file=sys.stderr)
 
     if args.savegraph:
         print('saving k-mer countgraph to', args.savegraph,

@@ -22,8 +22,61 @@ def scriptpath(name):
     raise FileNotFoundError(name)
 
 
-def runscript(scriptname, args, in_directory=None, fail_ok=False):
-    """Run a script in-process; returns (status, out, err)."""
+REF_TEST_DATA = os.path.join(
+    os.environ.get("KHMER_REFERENCE_DIR", "/root/reference"),
+    "tests", "test-data")
+
+_temp_root = None
+
+
+def get_test_data(name):
+    return os.path.join(REF_TEST_DATA, name)
+
+
+def _tempdir():
+    global _temp_root
+    if _temp_root is None:
+        import tempfile
+
+        _temp_root = tempfile.mkdtemp(prefix="khmer_tpu_test_")
+    return _temp_root
+
+
+def get_temp_filename(name, tempdir=None):
+    import tempfile
+
+    d = tempdir if tempdir is not None else tempfile.mkdtemp(
+        dir=_tempdir())
+    return os.path.join(d, name)
+
+
+def copy_test_data(name):
+    import shutil
+
+    dst = get_temp_filename(name)
+    shutil.copy(get_test_data(name), dst)
+    return dst
+
+
+def longify(values):
+    return list(values)
+
+
+def cleanup():
+    global _temp_root
+    if _temp_root is not None:
+        import shutil
+
+        shutil.rmtree(_temp_root, ignore_errors=True)
+        _temp_root = None
+
+
+def runscript(scriptname, args, in_directory=None, fail_ok=False,
+              sandbox=False):
+    """Run a script in-process; returns (status, out, err).
+
+    `sandbox` is accepted for reference-test parity (scriptpath
+    already searches both scripts/ and sandbox/)."""
     path = scriptpath(scriptname)
     sysargs = [path] + [str(a) for a in args]
 
