@@ -189,7 +189,10 @@ class FastxReader:
                 first = self._readline()
             if not first:
                 self._done = True
-                return None
+                # reference ReadParser raises on sequence-free input
+                # (read_parsers.cc:258)
+                raise OSError("{} does not contain any "
+                              "sequences!".format(self.filename))
             if first.startswith(b">"):
                 self._format = "fasta"
             elif first.startswith(b"@"):

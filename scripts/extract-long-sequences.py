@@ -31,7 +31,7 @@ def get_parser():
     parser.add_argument('input_filenames', help='Input FAST[AQ]'
                         ' sequence filename.', nargs='+')
     parser.add_argument('-o', '--output', help='The name of the output'
-                        ' sequence file.', default=sys.stdout.buffer,
+                        ' sequence file.', default=getattr(sys.stdout, 'buffer', sys.stdout),
                         metavar='output', type=khFileType('wb'))
     parser.add_argument('-l', '--length', help='The minimum length of'
                         ' the sequence file.',

@@ -32,7 +32,7 @@ def get_parser():
                         type=khFileType('wb'),
                         help='The name of the output'
                         ' FASTA sequence file.',
-                        default=sys.stdout.buffer)
+                        default=getattr(sys.stdout, 'buffer', sys.stdout))
     parser.add_argument('-n', '--n_keep', default=False, action='store_true',
                         help='Option to keep reads containing \'N\'s in '
                         'input_sequence file. Default is to drop reads')

@@ -45,7 +45,7 @@ def get_parser():
     parser.add_argument('right')
     parser.add_argument('-o', '--output', metavar="filename",
                         type=khFileType('wb'),
-                        default=sys.stdout.buffer)
+                        default=getattr(sys.stdout, 'buffer', sys.stdout))
     parser.add_argument('--no-reformat', default=False, action='store_true',
                         help='Do not reformat read names or enforce\
                               consistency')

@@ -23,7 +23,12 @@ def copy_test_data(tmp_path, ref_test_data):
 def records(path):
     from khmer_tpu.io.fastx import FastxReader
 
-    return list(FastxReader(path))
+    try:
+        return list(FastxReader(path))
+    except OSError:
+        # empty output file: the parser raises like the reference's
+        # ReadParser ("does not contain any sequences!")
+        return []
 
 
 def test_normalize_by_median_2(copy_test_data, tmp_path):
