@@ -43,6 +43,9 @@ class Hashgraph(Hashtable):
     def tag_density(self):
         return self._tag_density
 
+    def _get_tag_density(self):
+        return self._tag_density
+
     def _set_tag_density(self, d):
         if d % 2 != 0:
             raise ValueError("tag density must be even")
@@ -178,7 +181,9 @@ class Hashgraph(Hashtable):
         ksize, hashes, density = oxli_format.load_hashset(
             filename, ht_type=oxli_format.SAVED_TAGS)
         if ksize != self._ksize:
-            raise ValueError(
+            from khmer_tpu.io.oxli_format import OxliFileError
+
+            raise OxliFileError(
                 "tagset ksize {} does not match graph ksize {}".format(
                     ksize, self._ksize))
         if clear_tags:
@@ -199,7 +204,9 @@ class Hashgraph(Hashtable):
         ksize, hashes, _ = oxli_format.load_hashset(
             filename, ht_type=oxli_format.SAVED_STOPTAGS)
         if ksize != self._ksize:
-            raise ValueError(
+            from khmer_tpu.io.oxli_format import OxliFileError
+
+            raise OxliFileError(
                 "stoptags ksize {} does not match graph ksize {}".format(
                     ksize, self._ksize))
         if clear_tags:
@@ -347,12 +354,121 @@ class Hashgraph(Hashtable):
         return self.partition.find_unpart(
             filename, traverse, stop_big_traversals)
 
+    def subset_count_partitions(self, subset):
+        return subset.count_partitions()
+
     # -- stop-tag helpers ------------------------------------------------------
 
     def trim_on_stoptags(self, sequence):
         from khmer_tpu import traversal
 
         return traversal.trim_on_stoptags(self, sequence)
+
+    def identify_stoptags_by_position(self, sequence):
+        """Positions of stop-tagged k-mers in the sequence
+        (hashgraph.cc identify_stop_tags_by_position)."""
+        hashes = self._hash_array(sequence)
+        stop = self.stop_tags
+        return [i for i, h in enumerate(hashes) if int(h) in stop]
+
+    def filter_if_present(self, infilename, outputfile):
+        """Write reads containing NO already-present k-mer to
+        outputfile (hashgraph.cc:902-949)."""
+        out = open(outputfile, "w")
+        batch = []
+
+        def drain():
+            if not batch:
+                return
+            for (name, seq), (_, counts) in zip(
+                    batch, self._hash_count_rows([s for _, s in batch])):
+                if not (np.asarray(counts) > 0).any():
+                    out.write(">{}\n{}\n".format(name, seq))
+            batch.clear()
+
+        for read in FastxReader(infilename):
+            seq = read.cleaned_seq
+            if len(seq) < self._ksize:
+                continue
+            batch.append((read.name, seq))
+            if len(batch) >= 512:
+                drain()
+        drain()
+        out.close()
+
+    def consume_seqfile_and_tag_with_stoptags(self, parser_or_filename):
+        """Consume + tag, skipping stop-tagged k-mers and joining the
+        tags across those gaps (hashgraph.cc:507-609).
+
+        Per-read host logic over one batched pre-count query per read
+        keeps the reference's sequential is-new/tag-density semantics
+        exact."""
+        n_reads = 0
+        n_consumed = 0
+        density = self._tag_density
+        stop = self.stop_tags
+
+        for read in self._reads(parser_or_filename):
+            seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
+                else str(read)
+            n_reads += 1
+            if len(seq) < self._ksize:
+                continue
+            hashes = [int(h) for h in self._hash_array(seq)]
+            counts = self.storage.get_batch(
+                np.asarray(hashes, np.uint64))
+            read_tags = set()
+            since = density // 2 + 1
+            seen_in_read = set()
+            to_add = []
+            last_kmer = None
+            is_first_kmer = True
+            kmer = None
+            for i, kmer in enumerate(hashes):
+                if kmer not in stop:
+                    is_new = counts[i] == 0 and kmer not in seen_in_read
+                    if is_new:
+                        to_add.append(kmer)
+                        seen_in_read.add(kmer)
+                        n_consumed += 1
+
+                    if not is_new and kmer in self.all_tags:
+                        read_tags.add(kmer)
+                        since = 1
+                    else:
+                        since += 1
+
+                    if since >= density:
+                        self.all_tags.add(kmer)
+                        read_tags.add(kmer)
+                        since = 1
+                else:
+                    # stop tag!  do not insert, but connect.
+                    if not is_first_kmer and not read_tags:
+                        read_tags.add(last_kmer)
+                        self.all_tags.add(last_kmer)
+                    since = density - 1  # insert next kmer, too
+
+                last_kmer = kmer
+                is_first_kmer = False
+
+            if kmer is not None and kmer not in stop:
+                if since >= density // 2 - 1:
+                    self.all_tags.add(kmer)
+                    read_tags.add(kmer)
+
+            if to_add:
+                # for presence tables duplicates are harmless; counting
+                # semantics count only new k-mers (reference: count()
+                # only when is_new)
+                self.storage.add_batch(
+                    np.asarray(to_add, np.uint64))
+
+            if len(read_tags) > 1:
+                self.partition.assign_partition_id(
+                    next(iter(read_tags)), read_tags)
+
+        return n_reads, n_consumed
 
     def count_kmers_within_radius(self, kmer, radius, max_count=0):
         from khmer_tpu import traversal
