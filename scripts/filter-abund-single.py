@@ -86,13 +86,19 @@ def main():
     check_space([args.datafile], args.force)
 
     if args.savegraph:
+        if args.hash_function != 'twobit-exact':
+            log_error('ERROR: cannot save different hash functions yet.')
+            sys.exit(1)
+
         tablesize = calculate_graphsize(args, 'countgraph')
         check_space_for_graph(args.savegraph, tablesize, args.force)
 
     report_on_config(args)
 
     log_info('making countgraph')
-    graph = khmer_args.create_countgraph(args)
+    # a Counttable, so that unbounded-k hash functions work
+    # (reference scripts/filter-abund-single.py:138)
+    graph = khmer_args.create_counttable(args)
 
     # first, load reads into graph
     log_info('consuming input, round 1 -- {datafile}',
