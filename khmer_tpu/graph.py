@@ -67,8 +67,30 @@ class Hashgraph(Hashtable):
     def get_tagset(self):
         return [self.reverse_hash(h) for h in sorted(self.all_tags)]
 
+    def tags(self):
+        """Yield all tagged k-mers as DNA strings (graphs.pyx:708-712)."""
+        for h in self.all_tags:
+            yield self.reverse_hash(h)
+
     def get_stop_tags(self):
         return [self.reverse_hash(h) for h in sorted(self.stop_tags)]
+
+    def iter_stop_tags(self):
+        """Yield all stop tags as DNA strings (graphs.pyx:903-907)."""
+        for h in self.stop_tags:
+            yield self.reverse_hash(h)
+
+    def print_tagset(self, filename):
+        """Write every tag as a DNA line (hashgraph.cc:1415-1427)."""
+        with open(filename, "w") as f:
+            for h in self.all_tags:
+                f.write(self.reverse_hash(h) + "\n")
+
+    def print_stop_tags(self, filename):
+        """Write every stop tag as a DNA line (hashgraph.cc)."""
+        with open(filename, "w") as f:
+            for h in self.stop_tags:
+                f.write(self.reverse_hash(h) + "\n")
 
     def consume_and_tag(self, sequence, found_tags=None):
         """Consume a sequence and sprinkle tags every `_tag_density`
@@ -289,6 +311,20 @@ class Hashgraph(Hashtable):
         subset = SubsetPartition(self)
         subset.do_partition(start_kmer, end_kmer, break_on_stop_tags,
                             stop_big_traversals)
+        return subset
+
+    def do_subset_partition_with_abundance(self, min_count, max_count,
+                                           start_kmer=0, end_kmer=0,
+                                           break_on_stop_tags=False,
+                                           stop_big_traversals=False):
+        """Subset partition truncating traversal outside the count
+        range (graphs.pyx:925-949; Countgraph only)."""
+        from khmer_tpu.partitioning import SubsetPartition
+
+        subset = SubsetPartition(self)
+        subset.do_partition_with_abundance(
+            start_kmer, end_kmer, min_count, max_count,
+            break_on_stop_tags, stop_big_traversals)
         return subset
 
     def find_all_tags(self, kmer):

@@ -63,10 +63,13 @@ class SubsetPartition:
         return out[0]
 
     def find_all_tags_batch(self, seeds, break_on_stop_tags=False,
-                            stop_big_traversals=False):
+                            stop_big_traversals=False,
+                            min_count=None, max_count=None):
         """Per-seed tagged-kmer sets for a batch of seed hashes; each
         BFS level of every live seed resolves membership in ONE device
-        query."""
+        query.  With min_count/max_count, traversal is truncated at
+        k-mers whose abundance is outside the range
+        (find_all_tags_truncate_on_abundance, subset.cc:521-619)."""
         k = self.graph.ksize()
         all_tags = self.graph.all_tags
         stop_tags = self.graph.stop_tags
@@ -110,6 +113,12 @@ class SubsetPartition:
                 pos = np.searchsorted(stops_arr, canon)
                 pos[pos >= stops_arr.size] = 0
                 is_stop = stops_arr[pos] == canon
+            in_range = None
+            if min_count is not None or max_count is not None:
+                counts = np.asarray(self.graph.storage.get_batch(canon))
+                lo_c = 0 if min_count is None else min_count
+                hi_c = 0xFFFF if max_count is None else max_count
+                in_range = (counts >= lo_c) & (counts <= hi_c)
             expand_rows = []
             for i in range(canon.shape[0]):
                 s = int(sid[i])
@@ -124,6 +133,8 @@ class SubsetPartition:
                 if c in keepers[s]:
                     continue
                 if is_stop[i]:
+                    continue
+                if in_range is not None and not in_range[i]:
                     continue
                 keepers[s].add(c)
                 if is_tag[i]:
@@ -246,6 +257,25 @@ class SubsetPartition:
             ppis = self.find_all_tags_batch(
                 span[i: i + batch], break_on_stop_tags,
                 stop_big_traversals)
+            for ppi in ppis:
+                self.assign_partition_id(ppi.kmer, ppi.tagged_kmers)
+
+    def do_partition_with_abundance(self, first_kmer=0, last_kmer=0,
+                                    min_count=0, max_count=0xFFFF,
+                                    break_on_stop_tags=False,
+                                    stop_big_traversals=False, batch=64):
+        """Streaming-partitioning variant: traversal truncated at
+        k-mers with abundance outside [min_count, max_count]
+        (subset.cc:679-734)."""
+        tags = sorted(self.graph.all_tags)
+        lo = tags.index(first_kmer) if first_kmer else 0
+        hi = tags.index(last_kmer) if last_kmer else len(tags)
+        span = tags[lo:hi]
+        for i in range(0, len(span), batch):
+            ppis = self.find_all_tags_batch(
+                span[i: i + batch], break_on_stop_tags,
+                stop_big_traversals, min_count=min_count,
+                max_count=max_count)
             for ppi in ppis:
                 self.assign_partition_id(ppi.kmer, ppi.tagged_kmers)
 
