@@ -165,15 +165,21 @@ def sketch_update(spec: SketchSpec, table, n_occupied, n_unique, hashes,
     aux = {"premin": premin}
     if track_bigcount:
         # one candidate lane per distinct crossing hash, compacted so
-        # only a small list crosses to the host
+        # only a small list crosses to the host.  Compaction is one
+        # ascending sort of a keyed copy (crossing hashes sort to the
+        # front) — jnp.nonzero(size=...) lowers to a cumsum+scatter
+        # that costs ~10x a sort on TPU.
         n = h.shape[0]
+        lanes = min(BIGCOUNT_LANES, n)
         fc = first & (cs > 0)
-        cidx = jnp.nonzero(fc, size=min(BIGCOUNT_LANES, n),
-                           fill_value=n)[0]
-        kpad = jnp.concatenate([ks, jnp.zeros((1,), U64)])
-        aux["bigcount_hashes"] = kpad[cidx]
-        aux["bigcount_valid"] = cidx < n
-        aux["bigcount_overflow"] = jnp.sum(fc.astype(U32)) > cidx.shape[0]
+        cand_key = jnp.where(fc, ks, ~jnp.uint64(0))
+        cand_sorted = lax.sort(cand_key)
+        n_cross = jnp.sum(fc.astype(U32))
+        aux["bigcount_hashes"] = cand_sorted[:lanes]
+        aux["bigcount_valid"] = (
+            jnp.arange(lanes, dtype=U32) < jnp.minimum(
+                n_cross, U32(lanes)))
+        aux["bigcount_overflow"] = n_cross > U32(lanes)
     return table, n_occupied, n_unique, aux
 
 
