@@ -1,145 +1,118 @@
 #!/usr/bin/env python
-"""Streaming assembly with per-read tracking info written as CSV.
+"""Streaming assembly with a per-read action log written as CSV.
 
-% python sandbox/assemble-and-track.py -o stats.csv <reads.fq> [ ... ]
+Usage: python sandbox/assemble-and-track.py -o stats.csv <reads.fq> ...
 
-TPU port of the reference sandbox/assemble-and-track.py (the
-assemble-on-the-go loop plus a DictWriter action log).
+Equivalent of the reference sandbox/assemble-and-track.py: the
+assemble-on-the-go flow, logging one CSV row per consume ('c'),
+label ('l'), or assemble ('a') action.
 """
 
 import argparse
 import csv
 import sys
 
-from khmer_tpu import GraphLabels, HashSet
+from khmer_tpu import GraphLabels
 from khmer_tpu.io.fastx import FastxReader
 from khmer_tpu.khmer_args import build_counting_args, create_countgraph
 
-DEFAULT_COV = 20
-THRESH2 = 30
+COV_LOW = 20
+COV_ASSEMBLE = 30
+MIN_ORF_LEN = 99
+
+# standard genetic code, TCAG-nested codon order
+_CODE = 'FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG'
+_BASES = 'TCAG'
+DNA_TO_AA = {
+    a + b + c: _CODE[16 * i + 4 * j + k]
+    for i, a in enumerate(_BASES)
+    for j, b in enumerate(_BASES)
+    for k, c in enumerate(_BASES)
+}
+_RC = str.maketrans('ACGTN', 'TGCAN')
 
 
-dna_to_aa = {'TTT': 'F', 'TTC': 'F', 'TTA': 'L', 'TTG': 'L',
-             'TCT': 'S', 'TCC': 'S', 'TCA': 'S', 'TCG': 'S',
-             'TAT': 'Y', 'TAC': 'Y', 'TAA': '*', 'TAG': '*', 'TGA': '*',
-             'TGT': 'C', 'TGC': 'C', 'TGG': 'W',
-             'CTT': 'L', 'CTC': 'L', 'CTA': 'L', 'CTG': 'L',
-             'CCT': 'P', 'CCC': 'P', 'CCA': 'P', 'CCG': 'P',
-             'CAT': 'H', 'CAC': 'H', 'CAA': 'Q', 'CAG': 'Q',
-             'CGT': 'R', 'CGC': 'R', 'CGA': 'R', 'CGG': 'R',
-             'ATT': 'I', 'ATC': 'I', 'ATA': 'I', 'ATG': 'M',
-             'ACT': 'T', 'ACC': 'T', 'ACA': 'T', 'ACG': 'T',
-             'AAT': 'N', 'AAC': 'N', 'AAA': 'K', 'AAG': 'K',
-             'AGT': 'S', 'AGC': 'S', 'AGA': 'R', 'AGG': 'R',
-             'GTT': 'V', 'GTC': 'V', 'GTA': 'V', 'GTG': 'V',
-             'GCT': 'A', 'GCC': 'A', 'GCA': 'A', 'GCG': 'A',
-             'GAT': 'D', 'GAC': 'D', 'GAA': 'E', 'GAG': 'E',
-             'GGT': 'G', 'GGC': 'G', 'GGA': 'G', 'GGG': 'G'}
+def six_frame_peptides(seq):
+    rc = seq.translate(_RC)[::-1]
+    for frame_src in (seq, rc):
+        for start in (0, 1, 2):
+            yield ''.join(
+                DNA_TO_AA.get(frame_src[i:i + 3], 'X')
+                for i in range(start, len(frame_src), 3))
 
 
-_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
-
-
-def complement(s):
-    """Return complement of 's'."""
-    return "".join(_COMPLEMENT[n] for n in s)
-
-
-def reverse(s):
-    """Return reverse of 's'."""
-    return "".join(reversed(s))
-
-
-def peptides(seq, start):
-    for i in range(start, len(seq), 3):
-        yield dna_to_aa.get(seq[i:i + 3], "X")
-
-
-def translate(seq):
-    for i in range(3):
-        yield "".join(peptides(seq, i))
-
-    revcomp = reverse(complement(seq))
-    for i in range(3):
-        yield "".join(peptides(revcomp, i))
-
-
-def extract_orfs(pepseq, min_length=99):
-    for x in pepseq.split('*'):
-        if len(x) >= min_length:
-            yield x
+def orfs_of(seq, min_length=MIN_ORF_LEN):
+    for pep in six_frame_peptides(seq):
+        for orf in pep.split('*'):
+            if len(orf) >= min_length:
+                yield orf
 
 
 def main():
-    p = build_counting_args(descr='Streaming assembly with tracking info')
-    p.add_argument('fastq_files', nargs='+')
-    p.add_argument('-o', type=argparse.FileType('w'),
-                   default='assembly-stats.csv')
-    args = p.parse_args()
+    cli = build_counting_args(descr='Streaming assembly with tracking '
+                              'info')
+    cli.add_argument('fastq_files', nargs='+')
+    cli.add_argument('-o', type=argparse.FileType('w'),
+                     default='assembly-stats.csv')
+    opts = cli.parse_args()
 
-    cg = create_countgraph(args)
-
-    kept = 0
-    hdn = HashSet(args.ksize)
-    lh = GraphLabels(cg)
+    graph = create_countgraph(opts)
+    labels = GraphLabels(graph)
     next_label = 1
     next_orf = 1
-    output = set()
-    statswriter = csv.DictWriter(
-        args.o, delimiter=',',
+    emitted = set()
+
+    log = csv.DictWriter(
+        opts.o, delimiter=',',
         fieldnames=['read_n', 'action', 'cov', 'n_hdn', 'contig_n',
                     'orf_n', 'new'])
 
-    for filename in args.fastq_files:
-        for n, record in enumerate(FastxReader(filename)):
-            if n and n % 10000 == 0:
+    def row(read_n, action, cov, **extra):
+        entry = {'read_n': read_n, 'action': action, 'cov': cov,
+                 'n_hdn': None, 'contig_n': None, 'orf_n': None,
+                 'new': None}
+        entry.update(extra)
+        log.writerow(entry)
+
+    n = 0
+    for filename in opts.fastq_files:
+        for record in FastxReader(filename):
+            n += 1
+            if n % 10000 == 0:
                 print('...', n, file=sys.stderr)
 
-            if len(record.sequence) < args.ksize:
+            seq = record.sequence
+            if len(seq) < opts.ksize:
                 continue
 
-            cov, _, _ = cg.get_median_count(record.sequence)
-            if cov < DEFAULT_COV:
-                kept += 1
-                cg.consume(record.sequence)
-                statswriter.writerow({'read_n': n, 'action': 'c',
-                                      'cov': cov, 'n_hdn': None,
-                                      'contig_n': None, 'orf_n': None,
-                                      'new': None})
-            elif cov < THRESH2:
-                seq, pos = cg.trim_on_abundance(record.sequence, 3)
-                if len(seq) < args.ksize:
-                    continue
+            cov, _, _ = graph.get_median_count(seq)
 
-                cg.consume(seq)
-                hdn = cg.find_high_degree_nodes(seq)
-                lh.label_across_high_degree_nodes(seq, hdn, next_label)
+            if cov < COV_LOW:
+                graph.consume(seq)
+                row(n, 'c', cov)
+            elif cov < COV_ASSEMBLE:
+                trimmed, _ = graph.trim_on_abundance(seq, 3)
+                if len(trimmed) < opts.ksize:
+                    continue
+                graph.consume(trimmed)
+                hdn = graph.find_high_degree_nodes(trimmed)
+                labels.label_across_high_degree_nodes(trimmed, hdn,
+                                                      next_label)
                 next_label += 1
-                statswriter.writerow({'read_n': n, 'action': 'l',
-                                      'cov': cov, 'n_hdn': len(hdn),
-                                      'contig_n': None, 'orf_n': None,
-                                      'new': None})
-            elif cov == THRESH2:
-                contigs = lh.assemble_labeled_path(
-                    record.sequence[:args.ksize])
+                row(n, 'l', cov, n_hdn=len(hdn))
+            elif cov == COV_ASSEMBLE:
+                contigs = labels.assemble_labeled_path(
+                    seq[:opts.ksize])
                 for contig_n, contig in enumerate(contigs):
-                    statswriter.writerow({'read_n': n, 'action': 'a',
-                                          'cov': cov, 'n_hdn': None,
-                                          'contig_n': contig_n,
-                                          'orf_n': None, 'new': None})
-                    for t in translate(contig):
-                        for orf_n, o in enumerate(extract_orfs(t)):
-                            if hash(o) not in output:
-                                new = True
-                                output.add(hash(o))
-                                print('>orf%d\n%s' % (next_orf, o))
-                                next_orf += 1
-                            else:
-                                new = False
-                            statswriter.writerow(
-                                {'read_n': n, 'action': 'a', 'cov': cov,
-                                 'n_hdn': None, 'contig_n': contig_n,
-                                 'orf_n': orf_n, 'new': new})
+                    row(n, 'a', cov, contig_n=contig_n)
+                    for orf_n, orf in enumerate(orfs_of(contig)):
+                        new = hash(orf) not in emitted
+                        if new:
+                            emitted.add(hash(orf))
+                            print('>orf%d\n%s' % (next_orf, orf))
+                            next_orf += 1
+                        row(n, 'a', cov, contig_n=contig_n,
+                            orf_n=orf_n, new=new)
 
 
 if __name__ == '__main__':

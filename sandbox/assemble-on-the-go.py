@@ -1,119 +1,97 @@
 #!/usr/bin/env python
-"""Streaming assembly: consume low-coverage reads, label
-medium-coverage reads across HDNs, and emit ORFs from labeled-path
-contigs once coverage saturates.
+"""Streaming assembly: low-coverage reads feed the countgraph,
+medium-coverage reads get labeled across high-degree nodes, and once
+a read's coverage saturates its labeled-path contigs are translated
+and emitted as ORFs.
 
-% python sandbox/assemble-on-the-go.py <reads.fq> [ ... ]
+Usage: python sandbox/assemble-on-the-go.py <reads.fq> [ ... ]
 
-TPU port of the reference sandbox/assemble-on-the-go.py.
+Equivalent of the reference sandbox/assemble-on-the-go.py.
 """
 
 import argparse
 import sys
 
-from khmer_tpu import Countgraph, GraphLabels, HashSet
+from khmer_tpu import Countgraph, GraphLabels
 from khmer_tpu.io.fastx import FastxReader
 
-DEFAULT_COV = 20
+COV_LOW = 20      # below: just consume
+COV_ASSEMBLE = 30  # at: assemble; between: trim + label
 K = 21
-THRESH2 = 30
+MIN_ORF_LEN = 99
+
+# standard genetic code, TCAG-nested codon order
+_CODE = 'FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG'
+_BASES = 'TCAG'
+DNA_TO_AA = {
+    a + b + c: _CODE[16 * i + 4 * j + k]
+    for i, a in enumerate(_BASES)
+    for j, b in enumerate(_BASES)
+    for k, c in enumerate(_BASES)
+}
+_RC = str.maketrans('ACGTN', 'TGCAN')
 
 
-dna_to_aa = {'TTT': 'F', 'TTC': 'F', 'TTA': 'L', 'TTG': 'L',
-             'TCT': 'S', 'TCC': 'S', 'TCA': 'S', 'TCG': 'S',
-             'TAT': 'Y', 'TAC': 'Y', 'TAA': '*', 'TAG': '*', 'TGA': '*',
-             'TGT': 'C', 'TGC': 'C', 'TGG': 'W',
-             'CTT': 'L', 'CTC': 'L', 'CTA': 'L', 'CTG': 'L',
-             'CCT': 'P', 'CCC': 'P', 'CCA': 'P', 'CCG': 'P',
-             'CAT': 'H', 'CAC': 'H', 'CAA': 'Q', 'CAG': 'Q',
-             'CGT': 'R', 'CGC': 'R', 'CGA': 'R', 'CGG': 'R',
-             'ATT': 'I', 'ATC': 'I', 'ATA': 'I', 'ATG': 'M',
-             'ACT': 'T', 'ACC': 'T', 'ACA': 'T', 'ACG': 'T',
-             'AAT': 'N', 'AAC': 'N', 'AAA': 'K', 'AAG': 'K',
-             'AGT': 'S', 'AGC': 'S', 'AGA': 'R', 'AGG': 'R',
-             'GTT': 'V', 'GTC': 'V', 'GTA': 'V', 'GTG': 'V',
-             'GCT': 'A', 'GCC': 'A', 'GCA': 'A', 'GCG': 'A',
-             'GAT': 'D', 'GAC': 'D', 'GAA': 'E', 'GAG': 'E',
-             'GGT': 'G', 'GGC': 'G', 'GGA': 'G', 'GGG': 'G'}
+def six_frame_peptides(seq):
+    """Translate all six reading frames."""
+    rc = seq.translate(_RC)[::-1]
+    for frame_src in (seq, rc):
+        for start in (0, 1, 2):
+            yield ''.join(
+                DNA_TO_AA.get(frame_src[i:i + 3], 'X')
+                for i in range(start, len(frame_src), 3))
 
 
-_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
-
-
-def complement(s):
-    """Return complement of 's'."""
-    return "".join(_COMPLEMENT[n] for n in s)
-
-
-def reverse(s):
-    """Return reverse of 's'."""
-    return "".join(reversed(s))
-
-
-def peptides(seq, start):
-    for i in range(start, len(seq), 3):
-        yield dna_to_aa.get(seq[i:i + 3], "X")
-
-
-def translate(seq):
-    for i in range(3):
-        yield "".join(peptides(seq, i))
-
-    revcomp = reverse(complement(seq))
-    for i in range(3):
-        yield "".join(peptides(revcomp, i))
-
-
-def extract_orfs(pepseq, min_length=99):
-    for x in pepseq.split('*'):
-        if len(x) >= min_length:
-            yield x
+def orfs_of(seq, min_length=MIN_ORF_LEN):
+    for pep in six_frame_peptides(seq):
+        for orf in pep.split('*'):
+            if len(orf) >= min_length:
+                yield orf
 
 
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument('fastq_files', nargs='+')
-    args = p.parse_args()
+    cli = argparse.ArgumentParser(description='streaming ORF assembly')
+    cli.add_argument('fastq_files', nargs='+')
+    opts = cli.parse_args()
 
-    cg = Countgraph(K, 1e8, 4)
-
-    kept = 0
-    hdn = HashSet(K)
-    lh = GraphLabels(cg)
+    graph = Countgraph(K, 1e8, 4)
+    labels = GraphLabels(graph)
     next_label = 1
     next_orf = 1
-    output = set()
+    emitted = set()
 
-    for filename in args.fastq_files:
-        for n, record in enumerate(FastxReader(filename)):
-            if n and n % 10000 == 0:
+    n = 0
+    for filename in opts.fastq_files:
+        for record in FastxReader(filename):
+            n += 1
+            if n % 10000 == 0:
                 print('...', n, file=sys.stderr)
 
-            if len(record.sequence) < K:
+            seq = record.sequence
+            if len(seq) < K:
                 continue
 
-            cov, _, _ = cg.get_median_count(record.sequence)
-            if cov < DEFAULT_COV:
-                kept += 1
-                cg.consume(record.sequence)
-            elif cov < THRESH2:
-                seq, pos = cg.trim_on_abundance(record.sequence, 3)
-                if len(seq) < K:
-                    continue
+            cov, _, _ = graph.get_median_count(seq)
 
-                cg.consume(seq)
-                hdn = cg.find_high_degree_nodes(seq)
-                lh.label_across_high_degree_nodes(seq, hdn, next_label)
+            if cov < COV_LOW:
+                graph.consume(seq)
+            elif cov < COV_ASSEMBLE:
+                trimmed, _ = graph.trim_on_abundance(seq, 3)
+                if len(trimmed) < K:
+                    continue
+                graph.consume(trimmed)
+                hdn = graph.find_high_degree_nodes(trimmed)
+                labels.label_across_high_degree_nodes(trimmed, hdn,
+                                                      next_label)
                 next_label += 1
-            elif cov == THRESH2:
-                contigs = lh.assemble_labeled_path(record.sequence[:K])
-                for contig in contigs:
-                    for t in translate(contig):
-                        for o in extract_orfs(t):
-                            if hash(o) not in output:
-                                output.add(hash(o))
-                                print('>orf%d\n%s' % (next_orf, o))
-                                next_orf += 1
+            elif cov == COV_ASSEMBLE:
+                for contig in labels.assemble_labeled_path(seq[:K]):
+                    for orf in orfs_of(contig):
+                        if hash(orf) in emitted:
+                            continue
+                        emitted.add(hash(orf))
+                        print('>orf%d\n%s' % (next_orf, orf))
+                        next_orf += 1
 
 
 if __name__ == '__main__':

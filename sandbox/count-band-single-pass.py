@@ -1,12 +1,13 @@
 #!/usr/bin/env python
-"""Single-pass banded counting with a disk-backed hash buffer.
+"""Single-pass banded counting with a disk-backed spill buffer.
 
-% python sandbox/count-band-single-pass.py -n 4 -k 31 <reads> [ ... ]
+Usage: count-band-single-pass.py -n 4 -k 31 <reads> [ ... ]
 
-Hash values are bucketed by band (top of hash space), spilled to
-pickles, then each band is counted into its own Counttable.  TPU port
-of the reference sandbox/count-band-single-pass.py; the per-band count
-fill is one bulk device scatter instead of a per-hash loop.
+Hash values are split into bands by the top of hash space and spilled
+to temporary pickles; each band is then re-read and counted into its
+own Counttable (one bulk device scatter per spill file rather than a
+per-hash loop).  Equivalent of the reference
+sandbox/count-band-single-pass.py.
 """
 
 import argparse
@@ -20,13 +21,9 @@ import numpy as np
 from khmer_tpu import Counttable, ReadParser, calc_expected_collisions
 
 
-class BandedHashBuffer(object):
-    """Store k-mers in separate bands, using disk to keep memory low.
-
-    When the buffer accumulates `maxsize` hash values, each band list
-    is pickled to a temp file and the buffer resets; get_counts then
-    re-reads one band at a time into a fresh Counttable.
-    """
+class BandSpiller:
+    """Accumulate hash values per band, spilling each band's list to
+    its own pickle file whenever the in-memory total hits maxsize."""
 
     def __init__(self, numbands,
                  outfmt='tmp.band{band}.buffer{buffer}.pickle',
@@ -34,95 +31,88 @@ class BandedHashBuffer(object):
         self.numbands = numbands
         self.outfmt = outfmt
         self.maxsize = maxsize
-        self._num_flushes = 0
-        self._hash_count = 0
-        self.hashlists = dict()
-        self.reset()
+        self.n_spills = 0
+        self._reset()
+
+    def _reset(self):
+        self.pending = {band: [] for band in range(self.numbands)}
+        self.n_pending = 0
 
     def __len__(self):
-        return self._hash_count
+        return self.n_pending
 
-    def reset(self):
-        del self.hashlists
-        self._hash_count = 0
-        self.hashlists = dict()
-        for i in range(self.numbands):
-            self.hashlists[i] = list()
-
-    def flush(self):
-        if len(self) == 0:
+    def spill(self):
+        if not self.n_pending:
             return
-
-        self._num_flushes += 1
-        print('DEBUG flush', self._num_flushes, file=sys.stderr)
-
-        for i in range(self.numbands):
-            outfilename = self.outfmt.format(band=i + 1,
-                                             buffer=self._num_flushes)
-            with open(outfilename, 'wb') as outfile:
-                pickle.dump(self.hashlists[i], outfile)
-        self.reset()
+        self.n_spills += 1
+        print('DEBUG flush', self.n_spills, file=sys.stderr)
+        for band, values in self.pending.items():
+            fname = self.outfmt.format(band=band + 1,
+                                       buffer=self.n_spills)
+            with open(fname, 'wb') as fp:
+                pickle.dump(values, fp)
+        self._reset()
 
     def add(self, hashval):
         band = floor(hashval / (2 ** 64) * self.numbands)
-        self.hashlists[band].append(hashval)
-        self._hash_count += 1
-        if self._hash_count >= self.maxsize:
-            self.flush()
+        self.pending[band].append(hashval)
+        self.n_pending += 1
+        if self.n_pending >= self.maxsize:
+            self.spill()
 
-    def get_counts(self, memory, ksize):
-        if len(self) > 0:
-            self.flush()
-
+    def band_tables(self, memory, ksize):
+        """Yield (band, Counttable) pairs, re-reading each band's
+        spill files and scattering them in bulk."""
+        self.spill()
         for band in range(self.numbands):
-            counts = Counttable(ksize, memory / 4, 4)
-            for i in range(self._num_flushes):
-                bufferfilename = self.outfmt.format(band=band + 1,
-                                                    buffer=i + 1)
-                with open(bufferfilename, 'rb') as bufferfile:
-                    hashlist = pickle.load(bufferfile)
-                    if hashlist:
-                        # one device scatter for the whole band buffer
-                        counts.storage.add_batch(
-                            np.asarray(hashlist, np.uint64))
-                os.remove(bufferfilename)
-            yield band, counts
+            table = Counttable(ksize, memory / 4, 4)
+            for i in range(self.n_spills):
+                fname = self.outfmt.format(band=band + 1, buffer=i + 1)
+                with open(fname, 'rb') as fp:
+                    values = pickle.load(fp)
+                if values:
+                    table.storage.add_batch(
+                        np.asarray(values, np.uint64))
+                os.remove(fname)
+            yield band, table
+
+
+def build_cli():
+    cli = argparse.ArgumentParser(
+        description='single-pass banded k-mer counting')
+    cli.add_argument('-k', '--ksize', type=int, metavar='K', default=31,
+                     help='k-mer size')
+    cli.add_argument('-n', '--num-bands', type=int, metavar='N',
+                     help='number of bands')
+    cli.add_argument('-b', '--buffersize', type=float, metavar='B',
+                     default=1e8,
+                     help='k-mers to hold in memory before spilling '
+                     'buffers to disk')
+    cli.add_argument('-m', '--memory', type=float, metavar='M',
+                     default=1e4,
+                     help='bytes to allocate to each output counttable')
+    cli.add_argument('-o', '--outfmt', metavar='FMT', default='band{}.ct',
+                     help='output filename template; {} is replaced '
+                     'with the band number (default "band{}.ct")')
+    cli.add_argument('infiles', nargs='+')
+    return cli
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('-k', '--ksize', type=int, metavar='K', default=31,
-                        help='k-mer size')
-    parser.add_argument('-n', '--num-bands', type=int, metavar='N',
-                        help='number of bands')
-    parser.add_argument('-b', '--buffersize', type=float, metavar='B',
-                        default=1e8,
-                        help='number of k-mers to keep in memory before '
-                        'writing the buffer to disk and flushing')
-    parser.add_argument('-m', '--memory', type=float, metavar='M',
-                        default=1e4,
-                        help='memory (in bytes) to allocate to each '
-                        'counttable in the output')
-    parser.add_argument('-o', '--outfmt', metavar='FMT', default='band{}.ct',
-                        help='a string template for output files; default '
-                        'is "band{}.ct"; brackets will be replaced with '
-                        'band numbers')
-    parser.add_argument('infiles', nargs='+')
-    args = parser.parse_args()
+    opts = build_cli().parse_args()
 
-    kg = Counttable(args.ksize, 1, 1)
-    kbuffer = BandedHashBuffer(args.num_bands, maxsize=int(args.buffersize))
-    for infile in args.infiles:
-        reads = ReadParser(infile)
-        for read in reads:
-            for kmer in kg.get_kmer_hashes(read.sequence):
-                kbuffer.add(int(kmer))
+    hasher = Counttable(opts.ksize, 1, 1)
+    spiller = BandSpiller(opts.num_bands, maxsize=int(opts.buffersize))
+    for infile in opts.infiles:
+        for read in ReadParser(infile):
+            for kmer in hasher.get_kmer_hashes(read.sequence):
+                spiller.add(int(kmer))
 
-    for band, counttable in kbuffer.get_counts(args.memory, args.ksize):
-        fpr = calc_expected_collisions(counttable, max_false_pos=100.0)
-        ctfilename = args.outfmt.format(band + 1)
+    for band, table in spiller.band_tables(opts.memory, opts.ksize):
+        fpr = calc_expected_collisions(table, max_false_pos=100.0)
+        ctfilename = opts.outfmt.format(band + 1)
         print('Band', band, 'FPR', fpr, ctfilename, file=sys.stderr)
-        counttable.save(ctfilename)
+        table.save(ctfilename)
 
 
 if __name__ == '__main__':

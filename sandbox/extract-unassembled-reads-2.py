@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Extract reads carrying none of an assembly's tags.
+"""Pull out reads that touch none of an assembly's tag k-mers.
 
-% python sandbox/extract-unassembled-reads-2.py <assembly> <reads> [ ... ]
+Usage: extract-unassembled-reads-2.py <assembly> <reads> [ <reads2> .. ]
 
-Output in '<reads>.leftover' (or -o).  TPU port of the reference
-sandbox/extract-unassembled-reads-2.py: tag the assembly densely
-(density 20) and extract reads that touch no tag.
+Output lands in '<reads>.leftover' (or the -o file).  Equivalent of
+the reference sandbox/extract-unassembled-reads-2.py: the assembly is
+tagged densely (every 20 k-mers) and any read owning zero tags is
+considered unassembled.
 """
 
 import argparse
@@ -18,50 +19,56 @@ from khmer_tpu.utils import write_record
 
 DEFAULT_KSIZE = 31
 NODEGRAPH_SIZE = 1e8
+ASSEMBLY_TAG_DENSITY = 20
+
+
+def build_cli():
+    cli = argparse.ArgumentParser(
+        description='extract reads not represented in an assembly')
+    cli.add_argument('assembly')
+    cli.add_argument('readfiles', nargs='+')
+    cli.add_argument('-o', '--output', default=None)
+    cli.add_argument('-k', '--ksize', default=DEFAULT_KSIZE, type=int)
+    cli.add_argument('-x', '--tablesize', default=NODEGRAPH_SIZE,
+                     type=float)
+    return cli
 
 
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument('assembly')
-    p.add_argument('readfiles', nargs='+')
-    p.add_argument('-o', '--output', default=None)
-    p.add_argument('-k', '--ksize', default=DEFAULT_KSIZE, type=int)
-    p.add_argument('-x', '--tablesize', default=NODEGRAPH_SIZE,
-                   type=float)
-    args = p.parse_args()
+    opts = build_cli().parse_args()
 
-    ng = Nodegraph(args.ksize, args.tablesize, 4)
-    ng._set_tag_density(20)
+    graph = Nodegraph(opts.ksize, opts.tablesize, 4)
+    graph._set_tag_density(ASSEMBLY_TAG_DENSITY)
 
-    print('loading & tagging assembly from:', args.assembly)
-    ng.consume_seqfile_and_tag(args.assembly)
+    print('loading & tagging assembly from:', opts.assembly)
+    graph.consume_seqfile_and_tag(opts.assembly)
 
-    outfp = None
-    if args.output:
-        outfp = open(args.output, 'w')
+    shared_out = open(opts.output, 'w') if opts.output else None
 
-    n = 0
-    m = 0
-    for readfile in args.readfiles:
+    n_seen = 0
+    n_kept = 0
+    for readfile in opts.readfiles:
         print('loading reads from:', readfile)
-        if not args.output:
-            outfile = os.path.basename(readfile) + '.leftover'
-            outfp = open(outfile, 'w')
-            print('writing to:', outfile, file=sys.stderr)
+        if shared_out is not None:
+            out = shared_out
+        else:
+            name = os.path.basename(readfile) + '.leftover'
+            out = open(name, 'w')
+            print('writing to:', name, file=sys.stderr)
 
         for record in FastxReader(readfile):
-            if n % 100000 == 0 and n:
-                print('...', readfile, n, m, file=sys.stderr)
-            x = ng.get_tags_and_positions(record.sequence)
-            if not x:
-                write_record(record, outfp)
-                m += 1
-            n += 1
+            if n_seen % 100000 == 0 and n_seen:
+                print('...', readfile, n_seen, n_kept, file=sys.stderr)
+            n_seen += 1
+            if not graph.get_tags_and_positions(record.sequence):
+                write_record(record, out)
+                n_kept += 1
 
-        if not args.output:
-            outfp.close()
+        if shared_out is None:
+            out.close()
 
-    print('%d left out of assembly, of %d reads' % (m, n), file=sys.stderr)
+    print('%d left out of assembly, of %d reads' % (n_kept, n_seen),
+          file=sys.stderr)
 
 
 if __name__ == '__main__':

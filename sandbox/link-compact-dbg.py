@@ -1,12 +1,11 @@
 #!/usr/bin/env python
-"""Extract the compact de Bruijn graph with label links across HDNs.
+"""Compact de Bruijn graph extraction plus label links across HDNs.
 
-% python sandbox/link-compact-dbg.py -o out.gml <seqfile> [ ... ]
+Usage: python sandbox/link-compact-dbg.py -o out.gml <seqfile> ...
 
-TPU port of the reference sandbox/link-compact-dbg.py
-(extract-compact-dbg plus GraphLabels labeling of reads across
-high-degree nodes; the labels of each linear path are collected during
-traversal).
+Equivalent of the reference sandbox/link-compact-dbg.py: the
+extract-compact-dbg flow with a GraphLabels labeling pass; each
+unitig walk collects the labels of its visited k-mers.
 """
 
 import argparse
@@ -16,209 +15,143 @@ from khmer_tpu import GraphLabels, HashSet, Nodegraph, \
     calc_expected_collisions
 from khmer_tpu.io.fastx import FastxReader
 
-# graph settings
 DEFAULT_KSIZE = 31
-NODEGRAPH_SIZE = 8e8  # small, big is 2e8
+NODEGRAPH_SIZE = 8e8
 
 
-class Pathfinder(object):
-    "Track segment IDs & adjacency lists."
+class SegmentTracker:
+    """Segment id assignment + adjacency sets (see
+    extract-compact-dbg.py)."""
 
     def __init__(self, ksize):
         self.ksize = ksize
+        self._next_id = 1
+        self.sizes = {}
+        self.id_of_hdn = {}
+        self.edges = {}
 
-        self.segment_counter = 1
-        self.segments = {}
-        self.segments_r = {}
-        self.adjacencies = {}
+    def segment_for_hdn(self, node):
+        sid = self.id_of_hdn.get(node)
+        if sid is None:
+            sid = self._next_id
+            self._next_id += 1
+            self.id_of_hdn[node] = sid
+            self.sizes[sid] = self.ksize
+        return sid
 
-    def new_segment(self, kmer):
-        if kmer in self.segments_r:
-            return self.segments_r[kmer]
+    def new_unitig(self, size):
+        sid = self._next_id
+        self._next_id += 1
+        self.sizes[sid] = size
+        return sid
 
-        this_id = self.segment_counter
-        self.segment_counter += 1
+    def connect(self, a, b):
+        a, b = min(a, b), max(a, b)
+        self.edges.setdefault(a, set()).add(b)
 
-        self.segments[this_id] = self.ksize
-        self.segments_r[kmer] = this_id
-
-        return this_id
-
-    def new_linear_segment(self, size):
-        this_id = self.segment_counter
-        self.segment_counter += 1
-        self.segments[this_id] = size
-        return this_id
-
-    def add_adjacency(self, node_id, adj):
-        node_id, adj = min(node_id, adj), max(node_id, adj)
-
-        x = self.adjacencies.get(node_id, set())
-        x.add(adj)
-        self.adjacencies[node_id] = x
+    def write_gml(self, fp):
+        fp.write('graph [\n   directed 0\n')
+        for sid, size in self.sizes.items():
+            fp.write('  node [\n    id %s\n    size %s\n  ]\n'
+                     % (sid, size))
+        for src, dsts in self.edges.items():
+            for dst in dsts:
+                fp.write('  edge [\n    source %s\n    target %s\n  ]\n'
+                         % (src, dst))
+        fp.write(']\n')
 
 
-def traverse_and_mark_linear_paths(graph, nk, stop_bf, pathy, degree_nodes,
-                                   lh):
-    size, conns, visited = graph.traverse_linear_path(nk, degree_nodes,
-                                                      stop_bf)
+def walk_unitig(graph, seed, stop_bf, tracker, hdns, labels):
+    size, conns, visited = graph.traverse_linear_path(seed, hdns, stop_bf)
     if not size:
         return
-
-    linear_path_labels = set()
+    # gather the labels seen along this path (available for linking;
+    # the reference computes but does not yet use them either)
+    path_labels = set()
     for node in visited:
-        linear_path_labels.update(lh.get_tag_labels(node))
+        path_labels.update(labels.get_tag_labels(node))
+    sid = tracker.new_unitig(size)
+    for hdn in conns:
+        other = tracker.id_of_hdn.get(hdn)
+        if other is not None:
+            tracker.connect(sid, other)
 
-    # give it a segment ID
-    path_id = pathy.new_linear_segment(size)
 
-    # for all adjacencies, add.
-    for conn in conns:
-        conn_id = pathy.segments_r.get(conn)
-        if conn_id is not None:
-            pathy.add_adjacency(path_id, conn_id)
+def iterate_records(seqfiles, tag):
+    n = 0
+    for seqfile in seqfiles:
+        for record in FastxReader(seqfile):
+            n += 1
+            if n % 10000 == 0:
+                print(tag, seqfile, n)
+            yield record
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('seqfiles', nargs='+')
-    parser.add_argument('-o', '--output', default=None)
-    parser.add_argument('-k', '--ksize', default=DEFAULT_KSIZE, type=int)
-    parser.add_argument('-x', '--tablesize', default=NODEGRAPH_SIZE,
-                        type=float)
-    parser.add_argument('--force', action='store_true')
-    args = parser.parse_args()
+    cli = argparse.ArgumentParser(
+        description='compact dBG extraction with HDN label links')
+    cli.add_argument('seqfiles', nargs='+')
+    cli.add_argument('-o', '--output', default=None)
+    cli.add_argument('-k', '--ksize', default=DEFAULT_KSIZE, type=int)
+    cli.add_argument('-x', '--tablesize', default=NODEGRAPH_SIZE,
+                     type=float)
+    cli.add_argument('--force', action='store_true')
+    opts = cli.parse_args()
 
-    assert args.ksize % 2, "ksize must be odd"
-    assert args.output, "you probably want an output file"
+    assert opts.ksize % 2, "ksize must be odd"
+    assert opts.output, "you probably want an output file"
 
     print('building graphs and loading files')
 
-    graph = Nodegraph(args.ksize, args.tablesize, 2)
-    stop_bf = Nodegraph(args.ksize, args.tablesize, 2)
-    stop_bf2 = Nodegraph(args.ksize, args.tablesize, 2)
-    n = 0
+    graph = Nodegraph(opts.ksize, opts.tablesize, 2)
+    stop_bf = Nodegraph(opts.ksize, opts.tablesize, 2)
+    dedup_bf = Nodegraph(opts.ksize, opts.tablesize, 2)
 
-    for seqfile in args.seqfiles:
-        for record in FastxReader(seqfile):
-            n += 1
-            if n % 10000 == 0:
-                print('...', seqfile, n)
-            graph.consume(record.sequence)
+    for record in iterate_records(opts.seqfiles, '...'):
+        graph.consume(record.sequence)
 
-    calc_expected_collisions(graph, args.force, max_false_pos=.05)
-
-    pathy = Pathfinder(args.ksize)
+    calc_expected_collisions(graph, opts.force, max_false_pos=.05)
 
     print('finding high degree nodes')
-    degree_nodes = HashSet(args.ksize)
-    n = 0
-    for seqfile in args.seqfiles:
-        for record in FastxReader(seqfile):
-            n += 1
-            if n % 10000 == 0:
-                print('...2', seqfile, n)
-            if min(stop_bf2.get_kmer_counts(record.sequence)) == 0:
-                stop_bf2.consume(record.sequence)
-                degree_nodes += graph.find_high_degree_nodes(
-                    record.sequence)
-    del stop_bf2
+    hdns = HashSet(opts.ksize)
+    for record in iterate_records(opts.seqfiles, '...2'):
+        if min(dedup_bf.get_kmer_counts(record.sequence)) == 0:
+            dedup_bf.consume(record.sequence)
+            hdns += graph.find_high_degree_nodes(record.sequence)
+    del dedup_bf
 
-    if not len(degree_nodes):
+    if not len(hdns):
         print('no high degree nodes; exiting.')
         sys.exit(0)
 
-    lh = GraphLabels(graph)
-    n = 0
-    for seqfile in args.seqfiles:
-        for record in FastxReader(seqfile):
-            n += 1
-            if n % 10000 == 0:
-                print('...2', seqfile, n)
-            lh.label_across_high_degree_nodes(record.sequence,
-                                              degree_nodes, n)
+    labels = GraphLabels(graph)
+    for n, record in enumerate(iterate_records(opts.seqfiles, '...3')):
+        labels.label_across_high_degree_nodes(record.sequence, hdns, n)
+    print('num labels:', labels.n_labels)
 
-    print('num labels:', lh.n_labels)
+    tracker = SegmentTracker(opts.ksize)
+    for node in hdns:
+        tracker.segment_for_hdn(node)
 
-    for node in degree_nodes:
-        pathy.new_segment(node)
+    print('traversing linear segments from', len(hdns), 'nodes')
 
-    print('traversing linear segments from', len(degree_nodes), 'nodes')
-
-    for n, k in enumerate(degree_nodes):
+    for n, node in enumerate(hdns):
         if n % 10000 == 0:
-            print('...', n, 'of', len(degree_nodes))
-
-        k_id = pathy.segments_r[k]
-
-        nbh = graph.neighbors(k)
-        for nk in nbh:
-            if nk.kmer_u in degree_nodes:
-                nk_id = pathy.segments_r[nk.kmer_u]
-                pathy.add_adjacency(k_id, nk_id)
+            print('...', n, 'of', len(hdns))
+        sid = tracker.id_of_hdn[node]
+        for nbr in graph.neighbors(node):
+            if nbr.kmer_u in hdns:
+                tracker.connect(sid, tracker.id_of_hdn[nbr.kmer_u])
             else:
-                traverse_and_mark_linear_paths(graph, nk, stop_bf, pathy,
-                                               degree_nodes, lh)
+                walk_unitig(graph, nbr, stop_bf, tracker, hdns, labels)
 
-    print(len(pathy.segments), 'segments, containing',
-          sum(pathy.segments.values()), 'nodes')
+    print(len(tracker.sizes), 'segments, containing',
+          sum(tracker.sizes.values()), 'nodes')
 
-    # save to GML
-    if args.output:
-        print('saving to', args.output)
-        fp = open(args.output, 'w')
-        w = GmlWriter(fp, [], [])
-
-        for k, v in pathy.segments.items():
-            w.add_vertex(k, v, [])
-
-        for k, v in pathy.adjacencies.items():
-            for edge in v:
-                w.add_edge(k, edge, [])
-        w.done()
-
-
-class GmlWriter:
-    """Minimal GML graph writer (same output as the reference's)."""
-
-    def __init__(self, file, vertex_attributes=None, edge_attributes=None,
-                 directed=False):
-        self.file = file
-
-        self.vertex_attributes = vertex_attributes or []
-        self.edge_attributes = edge_attributes or []
-
-        if directed:
-            self._write('graph [\n   directed 1\n')
-        else:
-            self._write('graph [\n   directed 0\n')
-
-    def _write(self, string):
-        self.file.write(string)
-
-    def _quote(self, value):
-        if isinstance(value, str):
-            return '"{}"'.format(value)
-        return value
-
-    def add_vertex(self, id, size, attribute_values=()):
-        self._write('  node [\n')
-        self._write('    id {}\n'.format(id))
-        self._write('    size {}\n'.format(size))
-        for k, v in zip(self.vertex_attributes, attribute_values):
-            self._write('    {} {}\n'.format(k, self._quote(v)))
-        self._write('  ]\n')
-
-    def add_edge(self, src, dest, attribute_values=()):
-        self._write('  edge [\n')
-        self._write('    source {}\n'.format(src))
-        self._write('    target {}\n'.format(dest))
-        for k, v in zip(self.edge_attributes, attribute_values):
-            self._write('    {} {}\n'.format(k, self._quote(v)))
-        self._write('  ]\n')
-
-    def done(self):
-        self._write(']\n')
+    if opts.output:
+        print('saving to', opts.output)
+        with open(opts.output, 'w') as fp:
+            tracker.write_gml(fp)
 
 
 if __name__ == '__main__':

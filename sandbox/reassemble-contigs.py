@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Re-assemble contigs across high-degree nodes with labeled paths.
+"""Stitch contigs back together across high-degree nodes.
 
-% python sandbox/reassemble-contigs.py <contigs1> [ <contigs2> ... ]
+Usage: python sandbox/reassemble-contigs.py <contigs1> [ <contigs2> ... ]
 
-TPU port of the reference sandbox/reassemble-contigs.py.
+Equivalent of the reference sandbox/reassemble-contigs.py: build a
+Bloom graph of the contigs, label each contig across the high-degree
+nodes it touches, then emit the labeled-path assembly seeded at every
+contig's first k-mer.
 """
 
 import argparse
@@ -14,42 +17,48 @@ from khmer_tpu.io.fastx import FastxReader
 K = 31
 
 
+def _each_record(filenames, tick='...'):
+    count = 0
+    for filename in filenames:
+        for record in FastxReader(filename):
+            count += 1
+            if count % 10000 == 0:
+                print(tick, count)
+            yield record
+
+
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument('contig_files', nargs='+')
-    args = p.parse_args()
+    cli = argparse.ArgumentParser(
+        description='re-assemble contigs across high-degree nodes')
+    cli.add_argument('contig_files', nargs='+')
+    opts = cli.parse_args()
 
-    ng = Nodegraph(K, 1e8, 4)
+    graph = Nodegraph(K, 1e8, 4)
+
+    # pass 1: load the graph, remembering each contig's seed k-mer
     starts = []
+    for record in _each_record(opts.contig_files):
+        graph.consume(record.sequence)
+        starts.append(record.sequence[:K])
 
-    for filename in args.contig_files:
-        for n, record in enumerate(FastxReader(filename)):
-            if n and n % 10000 == 0:
-                print('...', n)
-            ng.consume(record.sequence)
-            starts.append(record.sequence[:K])
-
+    # pass 2: collect every high-degree node
     hdn = HashSet(K)
-    for filename in args.contig_files:
-        for n, record in enumerate(FastxReader(filename)):
-            if n and n % 10000 == 0:
-                print('...', n)
-            hdn += ng.find_high_degree_nodes(record.sequence)
+    for record in _each_record(opts.contig_files):
+        hdn += graph.find_high_degree_nodes(record.sequence)
 
-    lh = GraphLabels(ng)
-    for filename in args.contig_files:
-        for n, record in enumerate(FastxReader(filename)):
-            if n and n % 10000 == 0:
-                print('...', n)
-            lh.label_across_high_degree_nodes(record.sequence, hdn, n)
+    # pass 3: label contigs across those nodes
+    labels = GraphLabels(graph)
+    for n, record in enumerate(_each_record(opts.contig_files)):
+        labels.label_across_high_degree_nodes(record.sequence, hdn, n)
 
+    # emit the labeled-path assembly from every seed
     counter = 0
-    for k in starts:
-        contigs = lh.assemble_labeled_path(k)
+    for seed in starts:
+        contigs = labels.assemble_labeled_path(seed)
         if not contigs:
             print('nada...')
-        for c in contigs:
-            print('>%d\n%s' % (counter, c))
+        for contig in contigs:
+            print('>%d\n%s' % (counter, contig))
             counter += 1
 
 

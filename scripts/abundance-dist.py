@@ -1,12 +1,11 @@
 #!/usr/bin/env python
-"""Calculate abundance distribution of the k-mers in the sequence file
-using a pre-made k-mer countgraph.
+"""Histogram k-mer abundances of a sequence file against a
+previously saved countgraph.
 
-% python scripts/abundance-dist.py [ -z -s ] <countgraph> <data> <histout>
-
-Use '-h' for parameter help.
-
-TPU port of reference scripts/abundance-dist.py (same CLI/outputs).
+Usage: abundance-dist.py [ -z -s ] <countgraph> <data> <histout>
+(-h shows every option).  CLI and output format match the reference
+scripts/abundance-dist.py; the histogram itself is computed by one
+batched device kernel per chunk with a tracking nodegraph for dedup.
 """
 
 import csv
@@ -24,37 +23,35 @@ from khmer_tpu.khmer_logger import (configure_logging, log_error, log_info,
 
 def get_parser():
     epilog = """\
-    Example::
+    Build the table first, then histogram against it::
 
-        load-into-counting.py -x 1e7 -N 2 -k 17 counts \\
-                tests/test-data/test-abund-read-2.fa
-        abundance-dist.py counts tests/test-data/test-abund-read-2.fa \\
-                test-dist
+        load-into-counting.py -x 1e7 -N 2 -k 17 counts reads.fa
+        abundance-dist.py counts reads.fa reads.dist
     """
     parser = KhmerArgumentParser(
-        description="Calculate abundance distribution of the k-mers in "
-        "the sequence file using a pre-made k-mer countgraph.",
+        description="Histogram the k-mer abundances of a sequence file "
+        "against a saved countgraph.",
         epilog=textwrap.dedent(epilog), citations=['counting'])
 
-    parser.add_argument('input_count_graph_filename', help='The name of the'
-                        ' input k-mer countgraph file.')
-    parser.add_argument('input_sequence_filename', help='The name of the '
-                        'input FAST[AQ] sequence file.')
-    parser.add_argument('output_histogram_filename', help='The columns are: '
-                        '(1) k-mer abundance, (2) k-mer count, (3) cumulative'
-                        ' count, (4) fraction of total distinct k-mers.')
+    parser.add_argument('input_count_graph_filename',
+                        help='saved k-mer countgraph to read counts from')
+    parser.add_argument('input_sequence_filename',
+                        help='FAST[AQ] file whose k-mers are histogrammed')
+    parser.add_argument('output_histogram_filename',
+                        help='CSV output: abundance, k-mer count, '
+                        'cumulative count, cumulative fraction of '
+                        'distinct k-mers')
     parser.add_argument('-z', '--no-zero', dest='output_zero', default=True,
                         action='store_false',
-                        help='Do not output zero-count bins')
+                        help='skip abundance bins with zero k-mers')
     parser.add_argument('-s', '--squash', dest='squash_output', default=False,
                         action='store_true',
-                        help='Overwrite existing output_histogram_filename')
+                        help='overwrite an existing output file')
     parser.add_argument('-b', '--no-bigcount', dest='bigcount', default=True,
                         action='store_false',
-                        help='Do not count k-mers past 255')
+                        help='stop counting at 255, ignoring bigcounts')
     parser.add_argument('-f', '--force', default=False, action='store_true',
-                        help='Continue even if specified input files '
-                        'do not exist or are empty.')
+                        help='continue past missing or empty input files')
     parser.add_argument('-q', '--quiet', dest='quiet', default=False,
                         action='store_true')
     return parser
@@ -69,7 +66,7 @@ def main():
     for infile in infiles:
         check_input_files(infile, False)
 
-    log_info('Loading counting graph from {graph}',
+    log_info('loading saved countgraph {graph}',
              graph=args.input_count_graph_filename)
     countgraph = Countgraph.load(args.input_count_graph_filename)
 
@@ -84,8 +81,9 @@ def main():
     hashsizes = countgraph.hashsizes()
     tracking = khmer.Nodegraph(kmer_size, 1, 1, primes=hashsizes)
 
-    log_info('K: {ksize}', ksize=kmer_size)
-    log_info('outputting to {output}', output=args.output_histogram_filename)
+    log_info('k-mer size: {ksize}', ksize=kmer_size)
+    log_info('histogram will be written to {output}',
+             output=args.output_histogram_filename)
 
     if args.output_histogram_filename in ('-', '/dev/stdout'):
         pass
@@ -97,7 +95,7 @@ def main():
         log_info('** squashing existing file {output}',
                  output=args.output_histogram_filename)
 
-    log_info('preparing hist...')
+    log_info('computing the abundance histogram...')
     abundances = countgraph.abundance_distribution(
         args.input_sequence_filename, tracking)
     total = sum(abundances)

@@ -1,11 +1,9 @@
 #!/usr/bin/env python
-"""Display summary statistics for one or more FASTA/FASTQ files.
+"""Per-file and aggregate read statistics (bp, sequences, average
+length) for FASTA/FASTQ inputs.
 
-% scripts/readstats.py [ -o output.txt ] <file1> <file2>
-
-Use '-h' for parameter help.
-
-TPU port of the reference scripts/readstats.py (same CLI/outputs).
+Usage: readstats.py [ -o output.txt ] <file1> <file2> ...
+Same CLI and output text as the reference scripts/readstats.py.
 """
 
 import argparse
@@ -18,88 +16,47 @@ from khmer_tpu.khmer_args import KhmerArgumentParser, sanitize_help
 
 
 def get_parser():
-    descr = "Display summary statistics for one or more FASTA/FASTQ files."
+    descr = "Report bp/sequence/average-length statistics per file."
     epilog = """\
-    Report number of bases, number of sequences, and average sequence
-    length for one or more FASTA/FASTQ files; and report aggregate
-    statistics at end.
+    Prints bases, sequence count and mean length per input file, with
+    an aggregate line at the end.  Example::
 
-    Example::
-
-        readstats.py tests/test-data/test-abund-read-2.fa
+        readstats.py reads-1.fa reads-2.fq
     """
     parser = KhmerArgumentParser(
         description=descr, epilog=textwrap.dedent(epilog))
     parser.add_argument('filenames', nargs='+')
     parser.add_argument('-o', '--output', dest='outfp', metavar="filename",
-                        help="output file for statistics; defaults to "
-                        "stdout.", type=argparse.FileType('w'),
+                        help="write statistics here instead of "
+                        "stdout", type=argparse.FileType('w'),
                         default=sys.stdout)
     parser.add_argument('--csv', default=False, action='store_true',
-                        help='Use the CSV format for the statistics, '
-                        'including column headers.')
+                        help='emit CSV (with a header row) instead of '
+                        'plain text')
     return parser
 
 
-class StatisticsOutput(object):  # pylint: disable=too-few-public-methods
-    """Aggregating formatter context for per-file statistics."""
-
-    def __init__(self, formatter):
-        self.formatter = formatter
-
-    def __enter__(self):
-        self.formatter.write_header()
-        return self
-
-    def append(self, basepairs, seqs, filename):
-        self.formatter.append(
-            basepairs, seqs, basepairs / float(seqs), filename)
-
-    def __exit__(self, exc_type, exc_value, traceback):
-        if exc_type is None:
-            self.formatter.finalize()
-
-
-class CsvFormatter(object):
-    """Format the statistics information as CSV."""
-
-    headers = ['bp', 'seqs', 'avg_len', 'filename']
-
-    def __init__(self, underlying_file):
-        self.file = csv.writer(underlying_file)
-
-    def write_header(self):
-        self.file.writerow(self.headers)
-
-    def append(self, basepairs, seqs, avg_len, filename):
-        self.file.writerow([basepairs, seqs, "%.1f" % avg_len, filename])
-
-    def finalize(self):
-        pass
-
-
-class StdFormatter(object):
-    """Format the statistics in a human readable string."""
-
-    def __init__(self, underlying_file):
-        self.file = underlying_file
-        self.bp_total = 0
-        self.seqs_total = 0
-
-    def write_header(self):
-        self.file.write('---------------\n')
-
-    def append(self, basepairs, seqs, avg_len, filename):
-        self.bp_total += basepairs
-        self.seqs_total += seqs
-        self.file.write('%d bp / %d seqs; %.1f average length -- %s\n' %
-                        (basepairs, seqs, avg_len, filename))
-
-    def finalize(self):
-        self.file.write('---------------\n')
-        avg = self.bp_total / float(self.seqs_total)
-        self.file.write('%d bp / %d seqs; %.1f average length -- total\n' %
-                        (self.bp_total, self.seqs_total, avg))
+def _report(statistics, outfp, as_csv):
+    """Write the per-file stats plus an aggregate line.  Output text
+    is the reference's user contract; the formatter plumbing is not."""
+    if as_csv:
+        writer = csv.writer(outfp)
+        writer.writerow(['bp', 'seqs', 'avg_len', 'filename'])
+        for bps, seqs, filename in statistics:
+            writer.writerow([bps, seqs, "%.1f" % (bps / float(seqs)),
+                             filename])
+        return
+    outfp.write('---------------\n')
+    bp_total = 0
+    seqs_total = 0
+    for bps, seqs, filename in statistics:
+        bp_total += bps
+        seqs_total += seqs
+        outfp.write('%d bp / %d seqs; %.1f average length -- %s\n' %
+                    (bps, seqs, bps / float(seqs), filename))
+    outfp.write('---------------\n')
+    outfp.write('%d bp / %d seqs; %.1f average length -- total\n' %
+                (bp_total, seqs_total, bp_total / float(seqs_total)))
 
 
 def analyze_file(filename):
@@ -137,13 +94,7 @@ def main():
             print('No sequences found in %s' % filename, file=sys.stderr)
 
     if statistics:
-        if args.csv:
-            formatter = CsvFormatter(args.outfp)
-        else:
-            formatter = StdFormatter(args.outfp)
-        with StatisticsOutput(formatter) as out:
-            for stat in statistics:
-                out.append(*stat)
+        _report(statistics, args.outfp, args.csv)
     else:
         print('No sequences found in %d files' %
               len(args.filenames), file=args.outfp)

@@ -1,8 +1,9 @@
-"""Countgraph single-table behavior, ported from the reference
-tests/test_counting_single.py (collision semantics, saturation,
-bigcount, rc-awareness, occupancy)."""
+"""Single-table Countgraph behavior (reference expectations from
+tests/test_counting_single.py, reorganized table-driven)."""
 
 import os
+
+import pytest
 
 import khmer_tpu as khmer
 
@@ -11,47 +12,37 @@ from .conftest import REF_TEST_DATA
 MAX_COUNT = 255
 
 
-def _data(name):
-    return os.path.join(REF_TEST_DATA, name)
-
-
-def test_collision():
+def test_string_and_int_collision():
     kh = khmer.Countgraph(4, 100, 1)
-
     kh.count('AAAA')
     assert kh.get('AAAA') == 1
-
+    # TTTT is AAAA's reverse complement: same canonical bin
     kh.count('TTTT')
     assert kh.get('TTTT') == 2
 
 
-def test_badcount():
-    countgraph = khmer.Countgraph(4, 1, 1)
-    try:
-        countgraph.count()
-        assert 0, "count should require one argument"
-    except TypeError as err:
-        print(str(err))
-    try:
-        countgraph.count('ABCDE')
-        assert 0, "count should require k-mer size to be equal"
-    except ValueError as err:
-        print(str(err))
+def test_count_arg_validation():
+    cg = khmer.Countgraph(4, 1, 1)
+    with pytest.raises(TypeError):
+        cg.count()
+    with pytest.raises(ValueError):
+        cg.count('ABCDE')  # wrong k
+
+
+def _fill_complete_space(kh):
+    n_entries = kh.hashsizes()[0]
+    for i in range(0, n_entries):
+        kh.count(khmer.reverse_hash(i, 4))
+    return n_entries
 
 
 def test_complete_no_collision():
     kh = khmer.Countgraph(4, 1, 1, primes=[4 ** 4])
-
-    n_entries = kh.hashsizes()[0]
-
-    for i in range(0, n_entries):
-        s = khmer.reverse_hash(i, 4)
-        kh.count(s)
+    n_entries = _fill_complete_space(kh)
 
     n_palindromes = 0
     n_rc_filled = 0
     n_fwd_filled = 0
-
     for i in range(0, n_entries):
         s = khmer.reverse_hash(i, 4)
         if kh.get(s):                   # string hashing is rc aware
@@ -64,256 +55,150 @@ def test_complete_no_collision():
     assert n_rc_filled == n_entries, n_rc_filled
     assert n_palindromes == 16, n_palindromes
     assert n_fwd_filled == n_entries // 2 + n_palindromes // 2, \
-        (n_fwd_filled, n_entries // 2 + n_palindromes // 2)
+        n_fwd_filled
 
 
-def test_complete_2_collision():
-    kh = khmer.Countgraph(4, 7, 1)
+@pytest.mark.parametrize("size,probe_range", [(7, 128), (5, 64)])
+def test_complete_with_collisions(size, probe_range):
+    kh = khmer.Countgraph(4, size, 1)
+    _fill_complete_space(kh)
 
-    n_entries = kh.hashsizes()[0]
-    for i in range(0, n_entries):
-        s = khmer.reverse_hash(i, 4)
-        kh.count(s)
-
-    n_rc_filled = 0
-
-    for i in range(0, 128):
-        s = khmer.reverse_hash(i, 4)
-        if kh.get(s):                   # string hashing is rc aware
-            n_rc_filled += 1
-
-    assert n_rc_filled == 128, n_rc_filled
+    n_rc_filled = sum(
+        1 for i in range(probe_range)
+        if kh.get(khmer.reverse_hash(i, 4)))
+    assert n_rc_filled == probe_range, n_rc_filled
 
 
-def test_complete_4_collision():
-    kh = khmer.Countgraph(4, 5, 1)
-
-    n_entries = kh.hashsizes()[0]
-
-    for i in range(0, n_entries):
-        s = khmer.reverse_hash(i, 4)
-        kh.count(s)
-
-    n_rc_filled = 0
-
-    for i in range(0, 64):
-        s = khmer.reverse_hash(i, 4)
-        if kh.get(s):                   # string hashing is rc aware
-            n_rc_filled += 1
-
-    assert n_rc_filled == 64, n_rc_filled
-
-
-def test_maxcount():
-    # hashtable should saturate so as not to overflow the counter
+@pytest.mark.parametrize("bigcount,expected", [
+    (False, MAX_COUNT),      # saturates
+    (True, 10000),           # counts past 255
+])
+def test_count_saturation(bigcount, expected):
     kh = khmer.Countgraph(4, 100, 1)
+    kh.set_use_bigcount(bigcount)
 
-    last_count = None
+    last = None
     c = None
-    for _ in range(0, 10000):
+    for _ in range(10000):
         kh.count('AAAA')
         c = kh.get('AAAA')
-
-        if c == last_count:
+        if c == last:
             break
-        last_count = c
-
-    assert c != 10000, "should not be able to count to 10000"
-    assert c == MAX_COUNT
+        last = c
+    assert c == expected
 
 
-def test_maxcount_with_bigcount():
-    # hashtable should not saturate if use_bigcount is set
+@pytest.mark.parametrize("bigcount,expected", [
+    (False, MAX_COUNT),
+    (True, 10000 - 3),       # 9997 AAAA windows in a 10k-base run
+])
+def test_consume_saturation(bigcount, expected):
     kh = khmer.Countgraph(4, 100, 1)
-    kh.set_use_bigcount(True)
-
-    last_count = None
-    c = None
-    for _ in range(0, 10000):
-        kh.count('AAAA')
-        c = kh.get('AAAA')
-
-        if c == last_count:
-            break
-        last_count = c
-
-    assert c == 10000, "should be able to count to 10000"
-    assert c != MAX_COUNT
+    kh.set_use_bigcount(bigcount)
+    kh.consume("A" * 10000)
+    assert kh.get('AAAA') == expected
 
 
 def test_consume_uniqify_first():
     kh = khmer.Countgraph(4, 100, 1)
-
     kh.consume("TTTT")
     assert kh.get("AAAA") == 1
 
 
-def test_maxcount_consume():
-    kh = khmer.Countgraph(4, 100, 1)
-
-    kh.consume("A" * 10000)
-
-    assert kh.get('AAAA') == MAX_COUNT
-
-
-def test_maxcount_consume_with_bigcount():
-    kh = khmer.Countgraph(4, 100, 1)
-    kh.set_use_bigcount(True)
-
-    kh.consume("A" * 10000)
-
-    assert kh.get('AAAA') == 10000 - 3
+MINMAX_CASES = [
+    # (table size, consume twice?, rc second?, get_min, get_max)
+    (100, False, False, 1, None),
+    (100, True, False, 2, None),
+    (9, False, False, None, 2),
+    (9, True, False, None, 4),
+    (9, False, True, None, 4),
+    (100, False, True, 2, None),
+]
 
 
-def test_get_mincount():
-    kh = khmer.Countgraph(4, 100, 1)
-
+@pytest.mark.parametrize("size,twice,rc,want_min,want_max", MINMAX_CASES)
+def test_min_max_counts(size, twice, rc, want_min, want_max):
+    kh = khmer.Countgraph(4, size, 1)
     s = "AAAAACGT"
     kh.consume(s)
-
-    assert kh.get_min_count(s) == 1
-
-    kh.consume(s)
-    assert kh.get_min_count(s) == 2
-
-
-def test_get_maxcount():
-    kh = khmer.Countgraph(4, 9, 1)
-
-    s = "AAAAACGT"
-    kh.consume(s)
-
-    assert kh.get_max_count(s) == 2
-
-    kh.consume(s)
-    assert kh.get_max_count(s) == 4
+    if twice:
+        kh.consume(s)
+    if rc:
+        kh.consume("ACGTTTTT")          # revcomp of the sequence
+    if want_min is not None:
+        assert kh.get_min_count(s) == want_min
+    if want_max is not None:
+        assert kh.get_max_count(s) == want_max
 
 
-def test_get_maxcount_rc():
-    kh = khmer.Countgraph(4, 9, 1)
-
-    s = "AAAAACGT"
-    src = "ACGTTTTT"
-    kh.consume(s)
-
-    assert kh.get_max_count(s) == 2
-
-    kh.consume(src)
-    assert kh.get_max_count(s) == 4
-
-
-def test_get_mincount_rc():
-    kh = khmer.Countgraph(4, 100, 1)
-
-    s = "AAAAACGT"
-    src = "ACGTTTTT"
-
-    kh.consume(s)
-    assert kh.get_min_count(s) == 1
-
-    kh.consume(src)
-    assert kh.get_min_count(s) == 2
-
-
-def test_badget():
+def test_get_rejects_wrong_k():
     kh = khmer.Countgraph(6, 4 ** 10, 1)
-
     DNA = ("AGCTTTTCATTCTGACTGCAACGGGCAATATGTCTCTGTGTGGATTAAAAAAAGAGTG"
            "TCTGATAG")
-
     kh.consume(DNA)
 
     assert kh.get("AGCTTT") == 1
     assert kh.get("GATGAG") == 0
-
-    try:
+    with pytest.raises(ValueError):
         kh.get("AGCTT")
-        assert 0, "this should fail"
-    except ValueError as err:
-        print(str(err))
 
 
-def test_64bitshift():
+def test_64bit_windows():
+    # k=25 windows span two 64-bit words: every window must count
     kh = khmer.Countgraph(25, 4, 1)
     fullstr = ("GTATGCCAGCTCCAACTGGGCCGGTACGAGCAGGCCATTGCCTCTTGCCGCGATGC"
                "GTCGGCG")
+    kh.consume(fullstr)
+
     substr = "ATGCCAGCTCCAACTGGGCCGGTACGAGCAGGCCATTGCCTCTTGC"
-
-    kh.consume(fullstr)
-    assert 0 < kh.get_min_count(substr), kh.get_min_count(substr)
-
-
-def test_64bitshift_2():
-    kh = khmer.Countgraph(25, 4, 1)
-    fullstr = ("GTATGCCAGCTCCAACTGGGCCGGTACGAGCAGGCCATTGCCTCTTGCCGCGATGC"
-               "GTCGGCG")
-
-    kh.consume(fullstr)
+    assert kh.get_min_count(substr) > 0
     for i in range(len(fullstr) - 25 + 1):
-        substr = fullstr[i:i + 25]
-        assert kh.get(substr) > 0
+        assert kh.get(fullstr[i:i + 25]) > 0
 
 
-def test_very_short_read():
-    short_filename = _data('test-short.fa')
-    kh = khmer.Countgraph(9, 4, 1)
+@pytest.mark.parametrize("k,want_kmers", [(9, 0), (8, 1)])
+def test_very_short_read(k, want_kmers):
+    short_filename = os.path.join(REF_TEST_DATA, 'test-short.fa')
+    kh = khmer.Countgraph(k, 4, 1)
     n_reads, n_kmers = kh.consume_seqfile(short_filename)
     assert n_reads == 1, n_reads
-    assert n_kmers == 0, n_kmers
-
-    kh = khmer.Countgraph(8, 4, 1)
-    n_reads, n_kmers = kh.consume_seqfile(short_filename)
-    assert n_reads == 1, n_reads
-    assert n_kmers == 1, n_kmers
+    assert n_kmers == want_kmers, n_kmers
 
 
-class TestConsumeString(object):
+class TestConsumeString:
 
     def setup_method(self):
         self.kh = khmer.Countgraph(4, 1, 1, primes=[4 ** 4])
 
-    def test_n_occupied(self):
+    def test_n_occupied_grows(self):
         assert self.kh.n_occupied() == 0
         self.kh.consume('AAAA')
         assert self.kh.n_occupied() == 1
         self.kh.consume('AACT')
         assert self.kh.n_occupied() == 2
 
-    def test_simple(self):
-        n = self.kh.consume('AAAA')
-        assert n == 1
-        assert self.kh.get(0) == 1
+    @pytest.mark.parametrize("seq,n,count0", [
+        ('AAAA', 1, 1),
+        ('AAAAA', 2, 2),
+        ('TTTTT', 2, 2),    # rc of AAAAA: same bins
+    ])
+    def test_window_counting(self, seq, n, count0):
+        assert self.kh.consume(seq) == n
+        assert self.kh.get(0) == count0
 
-    def test_simple_2(self):
-        n = self.kh.consume('AAAAA')
-        assert n == 2
-        assert self.kh.get(0) == 2
-
-    def test_simple_rc(self):
-        n = self.kh.consume('TTTTT')
-        assert n == 2
-        assert self.kh.get(0) == 2
-
-    def test_min_count(self):
+    def test_min_max_after_one(self):
         self.kh.consume('AAAA')
-
         assert self.kh.get_min_count('AAAA') == 1
-
-    def test_max_count(self):
-        self.kh.consume('AAAA')
-
         assert self.kh.get_max_count('AAAA') == 1
 
 
-class TestAbundanceDistribution(object):
+def test_abundance_distribution_of_all_A():
+    kh = khmer.Countgraph(4, 100, 1)
+    a_file = os.path.join(REF_TEST_DATA, 'all-A.fa')
+    kh.consume_seqfile(a_file)
 
-    def setup_method(self):
-        self.kh = khmer.Countgraph(4, 100, 1)
-        self.kh.consume_seqfile(_data('all-A.fa'))
+    tracking = khmer.Nodegraph(4, 7, 1)
+    dist = kh.abundance_distribution(a_file, tracking)
 
-    def test_count_A(self):
-        tracking = khmer.Nodegraph(4, 7, 1)
-        dist = self.kh.abundance_distribution(_data('all-A.fa'), tracking)
-
-        assert sum(dist) == 1
-        assert dist[10] == 1
+    assert sum(dist) == 1
+    assert dist[10] == 1

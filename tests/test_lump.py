@@ -1,143 +1,91 @@
-"""Partition 'lump' tests, ported from the reference
-tests/test_lump.py: fakelump.fa is 3x1kb sequences sharing their last
-79 bases; stop tags must break the lump apart."""
+"""Stop-tag partition-splitting over the fakelump data (reference
+expectations from tests/test_lump.py; fakelump.fa = 3x1kb sequences
+sharing their last 79 bases)."""
 
 import os
+
+import pytest
 
 import khmer_tpu as khmer
 
 from .conftest import REF_TEST_DATA
 
+FAKELUMP = os.path.join(REF_TEST_DATA, 'fakelump.fa')
+STOPTXT = os.path.join(REF_TEST_DATA, 'fakelump.fa.stoptags.txt')
 
-def _data(name):
-    return os.path.join(REF_TEST_DATA, name)
+
+def _tagged_graph(size=1e5, n_tables=4, primes=None):
+    if primes is not None:
+        ht = khmer.Nodegraph(32, 1, 1, primes=primes)
+    else:
+        ht = khmer.Nodegraph(32, size, n_tables)
+    ht.consume_seqfile_and_tag(FAKELUMP)
+    return ht
 
 
-def test_fakelump_together():
-    ht = khmer.Nodegraph(32, 1e5, 4)
-    ht.consume_seqfile_and_tag(_data('fakelump.fa'))
-
-    subset = ht.do_subset_partition(0, 0)
+def _partition_count(ht, break_on_stops=False):
+    subset = ht.do_subset_partition(0, 0, break_on_stops)
     ht.merge_subset(subset)
-
-    (n_partitions, _) = ht.count_partitions()
-    assert n_partitions == 1, n_partitions
+    return ht.count_partitions()[0]
 
 
-def test_fakelump_stop():
-    ht = khmer.Nodegraph(32, 1e5, 4)
-    ht.consume_seqfile_and_tag(_data('fakelump.fa'))
-
-    for line in open(_data('fakelump.fa.stoptags.txt')):
-        ht.add_stop_tag(line.strip())
-
-    subset = ht.do_subset_partition(0, 0, True)
-    ht.merge_subset(subset)
-
-    (n_partitions, _) = ht.count_partitions()
-    assert n_partitions == 3, n_partitions
+def test_one_lump_without_stoptags():
+    assert _partition_count(_tagged_graph()) == 1
 
 
-def test_fakelump_stop2():
-    ht = khmer.Nodegraph(32, 1e5, 4)
-    ht.consume_seqfile_and_tag(_data('fakelump.fa'))
+@pytest.mark.parametrize("stop_source", ["file", "single"])
+def test_stoptags_split_the_lump(stop_source):
+    ht = _tagged_graph()
+    if stop_source == "file":
+        for line in open(STOPTXT):
+            ht.add_stop_tag(line.strip())
+    else:
+        ht.add_stop_tag('GGGGAGGGGTGCAGTTGTGACTTGCTCGAGAG')
 
-    ht.add_stop_tag('GGGGAGGGGTGCAGTTGTGACTTGCTCGAGAG')
-
-    subset = ht.do_subset_partition(0, 0, True)
-    ht.merge_subset(subset)
-
-    (n_partitions, _) = ht.count_partitions()
-    assert n_partitions == 3, n_partitions
-
-
-def test_fakelump_repartitioning(tmp_path):
-    fakelump_fa = _data('fakelump.fa')
-    fakelump_fa_foo = str(tmp_path / 'fakelump.fa.stopfoo')
-
-    ht = khmer.Nodegraph(32, 1e5, 4)
-    ht.consume_seqfile_and_tag(fakelump_fa)
-
-    subset = ht.do_subset_partition(0, 0)
-    ht.merge_subset(subset)
-
-    (n_partitions, _) = ht.count_partitions()
-    assert n_partitions == 1, n_partitions
-
-    # break partitions on repeated k-mers seen on big excursions:
-    # excursions 40 out that encounter more than 82 k-mers
-    EXCURSION_DISTANCE = 40
-    EXCURSION_KMER_THRESHOLD = 82
-    EXCURSION_KMER_COUNT_THRESHOLD = 1
-    counting = khmer.Countgraph(32, 1e5, 4)
-
-    ht.repartition_largest_partition(counting,
-                                     EXCURSION_DISTANCE,
-                                     EXCURSION_KMER_THRESHOLD,
-                                     EXCURSION_KMER_COUNT_THRESHOLD)
-
-    ht.save_stop_tags(fakelump_fa_foo)
-
-    # now re-do everything with these stop tags, specifically.
-    ht = khmer.Nodegraph(32, 1e5, 4)
-    ht.consume_seqfile_and_tag(fakelump_fa)
-    ht.load_stop_tags(fakelump_fa_foo)
-
-    subset = ht.do_subset_partition(0, 0, True)
-    ht.merge_subset(subset)
-
-    (n_partitions, _) = ht.count_partitions()
-    assert n_partitions == 6, n_partitions
+    assert _partition_count(ht, break_on_stops=True) == 3
 
 
-def test_fakelump_load_stop_tags_trunc(tmp_path):
-    fakelump_fa = _data('fakelump.fa')
-    fakelump_fa_foo = str(tmp_path / 'fakelump.fa.stopfoo')
+def _repartition_and_save_stoptags(ht, counting, outfile):
+    # break partitions on repeated k-mers seen on big excursions
+    # (excursions 40 out encountering > 82 k-mers)
+    ht.repartition_largest_partition(counting, 40, 82, 1)
+    ht.save_stop_tags(outfile)
 
-    ht = khmer.Nodegraph(32, 1e5, 4)
-    ht.consume_seqfile_and_tag(fakelump_fa)
 
-    subset = ht.do_subset_partition(0, 0)
-    ht.merge_subset(subset)
+def test_repartitioning_splits_into_six(tmp_path):
+    stopfile = str(tmp_path / 'fakelump.stoptags')
 
-    (n_partitions, _) = ht.count_partitions()
-    assert n_partitions == 1, n_partitions
+    ht = _tagged_graph()
+    assert _partition_count(ht) == 1
 
-    EXCURSION_DISTANCE = 40
-    EXCURSION_KMER_THRESHOLD = 82
-    EXCURSION_KMER_COUNT_THRESHOLD = 1
-    counting = khmer.Countgraph(32, 1, 1, primes=[5, 7, 11, 13])
+    _repartition_and_save_stoptags(ht, khmer.Countgraph(32, 1e5, 4),
+                                   stopfile)
 
-    ht.repartition_largest_partition(counting,
-                                     EXCURSION_DISTANCE,
-                                     EXCURSION_KMER_THRESHOLD,
-                                     EXCURSION_KMER_COUNT_THRESHOLD)
+    # re-run with the discovered stop tags: the lump breaks apart
+    ht = _tagged_graph()
+    ht.load_stop_tags(stopfile)
+    assert _partition_count(ht, break_on_stops=True) == 6
 
-    ht.save_stop_tags(fakelump_fa_foo)
-    data = open(fakelump_fa_foo, 'rb').read()
 
-    fp = open(fakelump_fa_foo, 'wb')
-    fp.write(data[:10])
-    fp.close()
+def test_truncated_stoptags_fail_to_load(tmp_path):
+    stopfile = str(tmp_path / 'fakelump.stoptags')
 
-    # now try loading these truncated stop tags; should fail.
+    ht = _tagged_graph()
+    assert _partition_count(ht) == 1
+
+    _repartition_and_save_stoptags(
+        ht, khmer.Countgraph(32, 1, 1, primes=[5, 7, 11, 13]), stopfile)
+
+    data = open(stopfile, 'rb').read()
+    with open(stopfile, 'wb') as fp:
+        fp.write(data[:10])
+
+    ht = _tagged_graph(primes=[5, 7, 11, 13])
+    with pytest.raises(OSError):
+        ht.load_stop_tags(stopfile)
+
+
+def test_missing_stoptags_fail_to_load(tmp_path):
     ht = khmer.Nodegraph(32, 1, 1, primes=[5, 7, 11, 13])
-    ht.consume_seqfile_and_tag(fakelump_fa)
-
-    try:
-        ht.load_stop_tags(fakelump_fa_foo)
-        assert 0, "this test should fail"
-    except OSError:
-        pass
-
-
-def test_fakelump_load_stop_tags_notexist(tmp_path):
-    fakelump_fa_foo = str(tmp_path / 'fakelump.fa.stopfoo')
-
-    ht = khmer.Nodegraph(32, 1, 1, primes=[5, 7, 11, 13])
-
-    try:
-        ht.load_stop_tags(fakelump_fa_foo)
-        assert 0, "this test should fail"
-    except OSError:
-        pass
+    with pytest.raises(OSError):
+        ht.load_stop_tags(str(tmp_path / 'nonexistent.stoptags'))

@@ -1,6 +1,6 @@
-"""Parsing-layer tests ported from the reference
-tests/test_cython_parsing.py: Sequence, Alphabets, FastxParser,
-SanitizedFastxParser, BrokenPairedReader, pairing checks."""
+"""Parsing-layer behavior (reference expectations from
+tests/test_cython_parsing.py, reorganized table-driven): Sequence,
+Alphabets, SanitizedFastxParser, BrokenPairedReader, pairing checks."""
 
 import pytest
 
@@ -8,388 +8,187 @@ from khmer_tpu.parsing import (Alphabets, BrokenPairedReader, FastxParser,
                                SanitizedFastxParser, Sequence)
 from khmer_tpu.utils import check_is_left, check_is_pair, check_is_right
 
+PARSERS = [FastxParser, SanitizedFastxParser]
+
+FIVE_READS = [('seq1/1', 'A' * 5), ('seq1/2', 'A' * 4),
+              ('seq2/1', 'A' * 5), ('seq3/1', 'A' * 3),
+              ('seq3/2', 'A' * 5)]
+
 
 @pytest.fixture
-def create_fastx(tmp_path):
-    def func(reads, fmt='fa'):
-        assert fmt in ['fa', 'fq']
-        fastx_fn = tmp_path / ('test.' + fmt)
-        with open(fastx_fn, 'a') as f:
-            for record in reads:
-                if fmt == 'fa':
-                    f.write('>{0}\n{1}\n'.format(record.name,
-                                                 record.sequence))
-                else:
-                    f.write('@{0}\n{1}\n+\n{2}\n'.format(
-                        record.name, record.sequence, record.quality))
-        return str(fastx_fn)
+def write_fasta(tmp_path):
+    def func(reads):
+        path = tmp_path / 'test.fa'
+        with open(path, 'a') as f:
+            for name, seq in reads:
+                f.write('>%s\n%s\n' % (name, seq))
+        return str(path)
     return func
 
 
-def test_FastxParser(create_fastx):
-    expected = [Sequence('seq1/1', 'A' * 5),
-                Sequence('seq1/2', 'A' * 4),
-                Sequence('seq2/1', 'A' * 5),
-                Sequence('seq3/1', 'A' * 3),
-                Sequence('seq3/2', 'A' * 5)]
-    parser = FastxParser(create_fastx(expected))
-    result = list(parser)
-
-    assert len(expected) == len(result)
-    for x, y in zip(expected, result):
-        assert x.name == y.name
-        assert x.sequence == y.sequence
+def test_plain_parser_roundtrip(write_fasta):
+    result = list(FastxParser(write_fasta(FIVE_READS)))
+    assert [(r.name, r.sequence) for r in result] == FIVE_READS
 
 
-def test_SanitizedFastxParser_convert_Ns(create_fastx):
-    expected = [Sequence('seq1/1', 'N' * 5),
-                Sequence('seq1/2', 'N' * 4)]
-    parser = SanitizedFastxParser(create_fastx(expected),
-                                  alphabet='DNAN_SIMPLE')
-    result = list(parser)
-
-    assert parser.n_bad == 0
-    assert len(result) == 2
-    assert result[0].sequence == 'A' * 5
-    assert result[1].sequence == 'A' * 4
-
-
-def test_SanitizedFastxParser_no_convert_Ns(create_fastx):
-    expected = [Sequence('seq1/1', 'N' * 5),
-                Sequence('seq1/2', 'N' * 4)]
-    parser = SanitizedFastxParser(create_fastx(expected),
-                                  alphabet='DNAN_SIMPLE',
-                                  convert_n=False)
-    result = list(parser)
-
-    assert parser.n_bad == 0
-    assert len(result) == 2
-    assert result[0].sequence == 'N' * 5
-    assert result[1].sequence == 'N' * 4
+SANITIZER_CASES = [
+    # (input seqs, kwargs, expected output seqs, expected n_bad)
+    ([('a', 'NNNNN'), ('b', 'NNNN')], dict(alphabet='DNAN_SIMPLE'),
+     ['AAAAA', 'AAAA'], 0),
+    ([('a', 'NNNNN'), ('b', 'NNNN')],
+     dict(alphabet='DNAN_SIMPLE', convert_n=False),
+     ['NNNNN', 'NNNN'], 0),
+    ([('a', 'XXX'), ('b', 'AAAA')], {}, ['AAAA'], 1),
+    ([('a', 'acgtn'), ('b', 'AcGtN'), ('c', 'aCgTn')],
+     dict(convert_n=False), ['ACGTN'] * 3, 0),
+]
 
 
-def test_SanitizedFastxParser_invalid(create_fastx):
-    expected = [Sequence('seq1/1', 'XXX'),
-                Sequence('seq1/2', 'A' * 4)]
-    parser = SanitizedFastxParser(create_fastx(expected))
-    result = list(parser)
-
-    assert parser.n_bad == 1
-    assert len(result) == 1
-    assert result[0].sequence == 'A' * 4
+@pytest.mark.parametrize("reads,kwargs,want,n_bad", SANITIZER_CASES)
+def test_sanitizing_parser(write_fasta, reads, kwargs, want, n_bad):
+    parser = SanitizedFastxParser(write_fasta(reads), **kwargs)
+    result = [r.sequence for r in parser]
+    assert result == want
+    assert parser.n_bad == n_bad
 
 
-def test_SanitizedFastxParser_lowercase(create_fastx):
-    reads = [Sequence('seq1/1', 'acgtn'),
-             Sequence('seq1/2', 'AcGtN'),
-             Sequence('seq1/2', 'aCgTn')]
-
-    parser = SanitizedFastxParser(create_fastx(reads), convert_n=False)
-    result = list(parser)
-
-    assert result[0].sequence == 'ACGTN'
-    assert result[1].sequence == 'ACGTN'
-    assert result[2].sequence == 'ACGTN'
-
-
-def test_alphabet_wrapper():
+def test_alphabet_registry():
     dna_simple = Alphabets.get('DNA_SIMPLE')
-    assert len(dna_simple) == 4
-    for b in 'ACGT':
-        assert b in dna_simple
-
+    assert sorted(dna_simple) == ['A', 'C', 'G', 'T']
     with pytest.raises(ValueError):
         Alphabets.get('TEST')
 
 
-def gather_paired(stream, **kw):
-    itr = BrokenPairedReader(stream, **kw)
-
-    x = []
-    m = 0
-    num = 0
-    for num, is_pair, read1, read2 in itr:
-        x.append((read1.name if read1 is not None else None,
-                  read2.name if read2 is not None else None))
-        m += 1
-
-    return x, num, m
+def _gather(stream, **kw):
+    names = []
+    last_n = -1
+    for last_n, is_pair, r1, r2 in BrokenPairedReader(stream, **kw):
+        names.append((r1.name if r1 is not None else None,
+                      r2.name if r2 is not None else None))
+    return names, last_n
 
 
-class TestBrokenPairedReader(object):
-    reads = [Sequence(name='seq1/1', sequence='A' * 5),
-             Sequence(name='seq1/2', sequence='A' * 4),
-             Sequence(name='seq2/1', sequence='A' * 5),
-             Sequence(name='seq3/1', sequence='A' * 3),
-             Sequence(name='seq3/2', sequence='A' * 5)]
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testDefault(self, parser, create_fastx):
-        x, n, m = gather_paired(parser(create_fastx(self.reads)),
-                                min_length=1)
-
-        expected = [('seq1/1', 'seq1/2'),
-                    ('seq2/1', None),
-                    ('seq3/1', 'seq3/2')]
-        assert x == expected, x
-        assert m == 3
-        assert n == 3, n
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testMinLength(self, parser, create_fastx):
-        x, n, m = gather_paired(parser(create_fastx(self.reads)),
-                                min_length=3)
-
-        expected = [('seq1/1', 'seq1/2'),
-                    ('seq2/1', None),
-                    ('seq3/1', 'seq3/2')]
-        assert x == expected, x
-        assert m == 3
-        assert n == 3, n
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testMinLength_2(self, parser, create_fastx):
-        x, n, m = gather_paired(parser(create_fastx(self.reads)),
-                                min_length=4)
-
-        expected = [('seq1/1', 'seq1/2'),
-                    ('seq2/1', None),
-                    (None, 'seq3/2')]
-        assert x == expected, x
-        assert m == 3
-        assert n == 3, n
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testForceSingle(self, parser, create_fastx):
-        x, n, m = gather_paired(parser(create_fastx(self.reads)),
-                                force_single=True)
-
-        expected = [('seq1/1', None),
-                    ('seq1/2', None),
-                    ('seq2/1', None),
-                    ('seq3/1', None),
-                    ('seq3/2', None)]
-        assert x == expected, x
-        assert m == 5
-        assert n == 4, n
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testForceSingleAndMinLength(self, parser, create_fastx):
-        x, n, m = gather_paired(parser(create_fastx(self.reads)),
-                                min_length=5, force_single=True)
-
-        expected = [('seq1/1', None),
-                    ('seq2/1', None),
-                    ('seq3/2', None)]
-        assert x == expected, x
-        assert m == 3, m
-        assert n == 2, n
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testRequirePairedAndMinLength_HalfPass(self, parser, create_fastx):
-        reads = [Sequence('seq1/1', 'A' * 5),
-                 Sequence('seq1/2', 'A' * 4),
-                 Sequence('seq3/1', 'A' * 3),
-                 Sequence('seq3/2', 'A' * 5)]
-
-        reader = BrokenPairedReader(parser(create_fastx(reads)),
-                                    min_length=4, require_paired=True)
-
-        result = []
-        n = -1
-        for n, paired, first, second in reader:
-            result.append((first, second))
-
-        assert len(result) == 1
-        assert n == 0
-        left, right = result[0]
-        assert left.name == reads[0].name
-        assert right.name == reads[1].name
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testRequirePairedAndMinLength_NeitherPass(self, parser,
-                                                  create_fastx):
-        reads = [Sequence('seq1/1', 'A' * 5),
-                 Sequence('seq1/2', 'A' * 4),
-                 Sequence('seq3/1', 'A' * 3),
-                 Sequence('seq3/2', 'A' * 3)]
-
-        reader = BrokenPairedReader(parser(create_fastx(reads)),
-                                    min_length=4, require_paired=True)
-
-        result = []
-        n = -1
-        for n, paired, first, second in reader:
-            result.append((first, second))
-
-        assert n == 0
-        assert len(result) == 1
-        left, right = result[0]
-        assert left.name == reads[0].name
-        assert right.name == reads[1].name
-
-    @pytest.mark.parametrize("parser", [FastxParser, SanitizedFastxParser])
-    def testRequirePairedAndMinLength_SwappedNeitherPass(self, parser,
-                                                         create_fastx):
-        reads = [Sequence('seq1/1', 'A' * 3),
-                 Sequence('seq1/2', 'A' * 3),
-                 Sequence('seq3/1', 'A' * 5),
-                 Sequence('seq3/2', 'A' * 5)]
-
-        reader = BrokenPairedReader(parser(create_fastx(reads)),
-                                    min_length=4, require_paired=True)
-
-        result = []
-        n = -1
-        for n, paired, first, second in reader:
-            result.append((first, second))
-
-        assert n == 0
-        assert len(result) == 1
-        left, right = result[0]
-        assert left.name == reads[2].name
-        assert right.name == reads[3].name
+BPR_CASES = [
+    # (kwargs, expected slot names, expected final n)
+    (dict(min_length=1),
+     [('seq1/1', 'seq1/2'), ('seq2/1', None), ('seq3/1', 'seq3/2')], 3),
+    (dict(min_length=3),
+     [('seq1/1', 'seq1/2'), ('seq2/1', None), ('seq3/1', 'seq3/2')], 3),
+    # a pair with one short mate keeps the surviving slot position
+    (dict(min_length=4),
+     [('seq1/1', 'seq1/2'), ('seq2/1', None), (None, 'seq3/2')], 3),
+    (dict(force_single=True),
+     [('seq1/1', None), ('seq1/2', None), ('seq2/1', None),
+      ('seq3/1', None), ('seq3/2', None)], 4),
+    (dict(min_length=5, force_single=True),
+     [('seq1/1', None), ('seq2/1', None), ('seq3/2', None)], 2),
+]
 
 
-def test_check_is_pair_1():
-    read1 = Sequence(name='seq', quality='###', sequence='AAA')
-    read2 = Sequence(name='seq2', quality='###', sequence='AAA')
-
-    assert not check_is_pair(read1, read2)
-
-
-def test_check_is_pair_2():
-    read1 = Sequence(name='seq/1', quality='###', sequence='AAA')
-    read2 = Sequence(name='seq/2', quality='###', sequence='AAA')
-
-    assert check_is_pair(read1, read2)
+@pytest.mark.parametrize("parser", PARSERS)
+@pytest.mark.parametrize("kwargs,want,want_n", BPR_CASES)
+def test_broken_paired_reader(write_fasta, parser, kwargs, want, want_n):
+    names, n = _gather(parser(write_fasta(FIVE_READS)), **kwargs)
+    assert names == want, names
+    assert n == want_n, n
 
 
-def test_check_is_pair_3_fq():
-    read1 = Sequence(name='seq 1::', quality='###', sequence='AAA')
-    read2 = Sequence(name='seq 2::', quality='###', sequence='AAA')
-
-    assert check_is_pair(read1, read2)
-
-
-def test_check_is_pair_3_broken_fq_1():
-    read1 = Sequence(name='seq', quality='###', sequence='AAA')
-    read2 = Sequence(name='seq 2::', quality='###', sequence='AAA')
-
-    assert not check_is_pair(read1, read2)
+REQUIRE_PAIRED_CASES = [
+    # (read lengths for seq1/1, seq1/2, seq3/1, seq3/2;
+    #  which pair survives min_length=4)
+    ((5, 4, 3, 5), 'seq1'),   # half of pair 3 too short -> dropped
+    ((5, 4, 3, 3), 'seq1'),   # all of pair 3 too short
+    ((3, 3, 5, 5), 'seq3'),   # pair 1 too short
+]
 
 
-def test_check_is_pair_3_broken_fq_2():
-    read1 = Sequence(name='seq 1::', quality='###', sequence='AAA')
-    read2 = Sequence(name='seq', quality='###', sequence='AAA')
+@pytest.mark.parametrize("parser", PARSERS)
+@pytest.mark.parametrize("lengths,survivor", REQUIRE_PAIRED_CASES)
+def test_require_paired_with_min_length(write_fasta, parser, lengths,
+                                        survivor):
+    l1, l2, l3, l4 = lengths
+    reads = [('seq1/1', 'A' * l1), ('seq1/2', 'A' * l2),
+             ('seq3/1', 'A' * l3), ('seq3/2', 'A' * l4)]
+    names, n = _gather(parser(write_fasta(reads)),
+                       min_length=4, require_paired=True)
+    assert n == 0
+    assert names == [(survivor + '/1', survivor + '/2')]
 
-    assert not check_is_pair(read1, read2)
+
+PAIR_CASES = [
+    # (name1, q1?, name2, q2?, expected)
+    ('seq', True, 'seq2', True, False),
+    ('seq/1', True, 'seq/2', True, True),
+    ('seq 1::', True, 'seq 2::', True, True),
+    ('seq', True, 'seq 2::', True, False),
+    ('seq 1::', True, 'seq', True, False),
+    ('seq 1::', False, 'seq 2::', False, True),
+    ('seq/1', False, 'seq/2', False, True),
+    ('seq1', False, 'seq2', False, False),
+    ('seq/2', False, 'seq/1', False, False),
+]
 
 
-def test_check_is_pair_3_fa():
-    read1 = Sequence(name='seq 1::', sequence='AAA')
-    read2 = Sequence(name='seq 2::', sequence='AAA')
+@pytest.mark.parametrize("n1,q1,n2,q2,want", PAIR_CASES)
+def test_check_is_pair(n1, q1, n2, q2, want):
+    read1 = Sequence(name=n1, sequence='AAA',
+                     quality='###' if q1 else None)
+    read2 = Sequence(name=n2, sequence='AAA',
+                     quality='###' if q2 else None)
+    assert check_is_pair(read1, read2) is want
 
-    assert check_is_pair(read1, read2)
 
-
-def test_check_is_pair_4():
-    read1 = Sequence(name='seq/1', quality='###', sequence='AAA')
-    read2 = Sequence(name='seq/2', sequence='AAA')
-
+@pytest.mark.parametrize("q1,q2", [(True, False), (False, True)])
+def test_check_is_pair_mixed_types_raises(q1, q2):
+    read1 = Sequence(name='seq/1', sequence='AAA',
+                     quality='###' if q1 else None)
+    read2 = Sequence(name='seq/2', sequence='AAA',
+                     quality='###' if q2 else None)
     with pytest.raises(ValueError):
         check_is_pair(read1, read2)
 
 
-def test_check_is_pair_4b():
-    read1 = Sequence(name='seq/1', sequence='AAA')
-    read2 = Sequence(name='seq/2', quality='###', sequence='AAA')
-
-    with pytest.raises(ValueError):
-        check_is_pair(read1, read2)
-
-
-def test_check_is_pair_5():
-    read1 = Sequence(name='seq/1', sequence='AAA')
-    read2 = Sequence(name='seq/2', sequence='AAA')
-
-    assert check_is_pair(read1, read2)
-
-
-def test_check_is_pair_6():
-    read1 = Sequence(name='seq1', sequence='AAA')
-    read2 = Sequence(name='seq2', sequence='AAA')
-
-    assert not check_is_pair(read1, read2)
+LEFT_RIGHT_CASES = [
+    # (name, is_left, is_right)
+    ('seq1/1', True, False),
+    ('seq1 1::N', True, False),
+    ('seq1/2', False, True),
+    ('seq1 2::N', False, True),
+    ('seq', False, False),
+    ('seq 1', False, False),
+    ('seq 2', False, False),
+    ('@HWI-ST412:261:d15khacxx:8:1101:3149:2157 1:N:0:ATCACG',
+     True, False),
+]
 
 
-def test_check_is_pair_7():
-    read1 = Sequence(name='seq/2', sequence='AAA')
-    read2 = Sequence(name='seq/1', sequence='AAA')
-
-    assert not check_is_pair(read1, read2)
-
-
-def test_check_is_right():
-    assert not check_is_right('seq1/1')
-    assert not check_is_right('seq1 1::N')
-    assert check_is_right('seq1/2')
-    assert check_is_right('seq1 2::N')
-
-    assert not check_is_right('seq')
-    assert not check_is_right('seq 2')
+@pytest.mark.parametrize("name,left,right", LEFT_RIGHT_CASES)
+def test_check_is_left_right(name, left, right):
+    assert check_is_left(name) is left
+    assert check_is_right(name) is right
 
 
-def test_check_is_left():
-    assert check_is_left('seq1/1')
-    assert check_is_left('seq1 1::N')
-    assert not check_is_left('seq1/2')
-    assert not check_is_left('seq1 2::N')
+class TestSequenceRecord:
+    """Cython Sequence init semantics: all-None defaults; name and
+    sequence must be given together."""
 
-    assert not check_is_left('seq')
-    assert not check_is_left('seq 1')
+    def test_full_init(self):
+        s = Sequence(name='Test', sequence='ACGT')
+        assert (s.name, s.sequence) == ('Test', 'ACGT')
+        assert s.quality is None and s.description is None
+        assert s.cleaned_seq == 'ACGT'
 
-    assert check_is_left(
-        '@HWI-ST412:261:d15khacxx:8:1101:3149:2157 1:N:0:ATCACG')
-
-
-class TestSequence(object):
-
-    name = 'Test'
-    sequence = 'ACGT'
-    quality = '####'
-    description = 'The nucleotides'
-    cleaned = 'aaaa'
-
-    def test_init_name_and_sequence(self):
-        s = Sequence(name=self.name, sequence=self.sequence)
-        assert s.name == self.name
-        assert s.sequence == self.sequence
-        assert s.quality is None
-        assert s.description is None
-        assert s.cleaned_seq == self.sequence
-
-    def test_init_name_only(self):
-        s = Sequence(name=self.name)
-        assert s.name is None
-        assert s.sequence is None
-        assert s.quality is None
-        assert s.description is None
+    @pytest.mark.parametrize("kwargs", [
+        dict(name='Test'),
+        dict(sequence='ACGT'),
+    ])
+    def test_partial_init_stays_empty(self, kwargs):
+        s = Sequence(**kwargs)
+        assert s.name is None and s.sequence is None
+        assert s.quality is None and s.description is None
         assert s.cleaned_seq is None
 
-    def test_init_sequence_only(self):
-        s = Sequence(sequence=self.sequence)
-        assert s.name is None
-        assert s.sequence is None
-        assert s.quality is None
-        assert s.description is None
-        assert s.cleaned_seq is None
-
-    def test_init_with_cleaned_seq(self):
-        s = Sequence(name=self.name, sequence=self.sequence,
-                     cleaned_seq=self.cleaned)
-        assert s.name == self.name
-        assert s.sequence == self.sequence
-        assert s.quality is None
-        assert s.description is None
-        assert s.cleaned_seq == self.cleaned
+    def test_explicit_cleaned_seq_wins(self):
+        s = Sequence(name='Test', sequence='ACGT', cleaned_seq='aaaa')
+        assert s.sequence == 'ACGT'
+        assert s.cleaned_seq == 'aaaa'
