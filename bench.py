@@ -1,68 +1,99 @@
-"""khmer-tpu headline benchmark: k-mer hashing throughput.
+"""khmer-tpu headline benchmark: end-to-end bulk consume throughput.
 
-Measures the canonical 2-bit k-mer hash kernel — the front of the hot
-path of every counting/filtering script (reference hot loop:
-src/oxli/hashtable.cc:133-158) — at production shapes on one chip, and
-prints ONE JSON line:
+Measures the full `load-into-counting` hot path on one chip — native
+parse + clean + 2-bit encode, bit-packed host->device transfer, fused
+hash, deferred sort-combine counting, sketch flush, n_unique — via the
+same `Countgraph.consume_seqfile` call the CLI scripts use (reference
+hot loop: src/oxli/hashtable.cc:133-158), and prints ONE JSON line:
 
-  {"metric": "kmer_hash_throughput", "value": <GB/s of bases>,
-   "unit": "GB/s", "vs_baseline": <value / 5.0>}
+  {"metric": "consume_mbps", "value": <MB/s of FASTA bytes>,
+   "unit": "MB/s", "vs_baseline": <value / 12.0>,
+   "kmer_hash_gbps": <GB/s of the bare hash kernel>}
 
-Baseline: the driver-set north-star target of 5 GB/s/chip k-mer hashing
-(BASELINE.md; the reference publishes no throughput numbers — its
-single-thread CPU hot loop measures in the tens of MB/s).
+vs_baseline anchors to 12.0 MB/s — round 1's end-to-end number for
+this exact config (VERDICT.md "What's weak" #1); the reference
+publishes no throughput numbers (BASELINE.md).  The bare hash-kernel
+throughput (round 1's headline, target 5 GB/s/chip) is carried along
+as `kmer_hash_gbps`.
 
-The full fused consume (hash + Count-Min scatter update) is
-benchmarked in tests/test_perf.py; its ceiling is XLA scatter/gather
-throughput, tracked separately.
+Input: a synthetic 20x-coverage read set over a 3.2 Mbase random
+genome (realistic k-mer duplication for the deferred counting path),
+k=20, 4x100M-bin countgraph — the BASELINE.md load-into-counting
+config.  Two timed passes; the first also warms the XLA compile cache
+(persistent across runs), the second is reported.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
 
-def main():
+def _make_reads(path, genome_mb=3.2, coverage=20, readlen=100, seed=42):
+    rng = np.random.default_rng(seed)
+    G = int(genome_mb * 1e6)
+    genome = rng.integers(0, 4, G, dtype=np.uint8)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    n_reads = G * coverage // readlen
+    starts = rng.integers(0, G - readlen, n_reads)
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            s = starts[i]
+            f.write(b">r%d\n" % i)
+            f.write(lut[genome[s: s + readlen]].tobytes())
+            f.write(b"\n")
+
+
+def _hash_kernel_gbps():
     import jax
     import jax.numpy as jnp
 
     from khmer_tpu.ops.hashing import kmer_hashes_2bit_pm_u32
 
     K = 20
-    backend = jax.default_backend()
-    if backend == "cpu":
-        R, L = 256, 4115
-        iters = 3
+    if jax.default_backend() == "cpu":
+        R, L, iters = 256, 4115, 3
     else:
-        R, L = 4096, 16403  # ~67M bases per call
-        iters = 10
-
+        R, L, iters = 4096, 16403, 10
     rng = np.random.default_rng(42)
     codes = jnp.asarray(rng.integers(0, 4, (R, L), dtype=np.uint8))
     lengths = jnp.full((R,), L, jnp.int32)
-
-    # the production kernel emits canonical hashes as (hi, lo) uint32
-    # pairs (TPU-native split-radix form, combined to u64 inside the
-    # fused consume jit); materialize both halves = full hash output
     fn = jax.jit(lambda c: kmer_hashes_2bit_pm_u32(c, lengths, K)[:2])
     hi, lo = fn(codes)
-    _ = np.asarray(hi.ravel()[0:1])  # force real completion
-    _ = np.asarray(lo.ravel()[0:1])
-
+    np.asarray(hi.ravel()[0:1]), np.asarray(lo.ravel()[0:1])
     t0 = time.perf_counter()
-    for _i in range(iters):
+    for _ in range(iters):
         hi, lo = fn(codes)
-    _ = np.asarray(hi.ravel()[0:1])
-    _ = np.asarray(lo.ravel()[0:1])
-    dt = (time.perf_counter() - t0) / iters
+    np.asarray(hi.ravel()[0:1]), np.asarray(lo.ravel()[0:1])
+    return R * L * iters / (time.perf_counter() - t0) / 1e9
 
-    gbps = R * L / dt / 1e9
+
+def main():
+    import jax  # noqa: F401 — initialize backend before timing
+
+    import khmer_tpu
+
+    path = os.path.join(tempfile.gettempdir(), "khmer_tpu_bench_reads.fa")
+    if not os.path.exists(path):
+        _make_reads(path)
+    size = os.path.getsize(path)
+
+    mbps = 0.0
+    for _trial in range(2):
+        cg = khmer_tpu.Countgraph(20, 100_000_000, 4)
+        t0 = time.perf_counter()
+        cg.consume_seqfile(path)
+        cg.n_unique_kmers()  # forces the full flush
+        mbps = size / (time.perf_counter() - t0) / 1e6
+
     print(json.dumps({
-        "metric": "kmer_hash_throughput",
-        "value": round(gbps, 4),
-        "unit": "GB/s",
-        "vs_baseline": round(gbps / 5.0, 4),
+        "metric": "consume_mbps",
+        "value": round(mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / 12.0, 3),
+        "kmer_hash_gbps": round(_hash_kernel_gbps(), 3),
     }))
 
 

@@ -1,0 +1,151 @@
+"""End-to-end pipeline benchmarks: the 5 BASELINE.md configs.
+
+Runs the REAL CLI scripts (scripts/*.py) via subprocess — the exact
+code path a user runs — on the reference's stamps data plus a
+synthetic 20x-coverage read set, records wall time / MB/s / reads/s
+per stage, and writes BENCH_PIPELINES.json at the repo root.
+
+Configs (BASELINE.md "Benchmark configs"; stamps flags follow the
+reference's own pipeline, /root/reference/examples/stamps/do.sh):
+  1. load-into-counting + abundance-dist-single   (k=20)
+  2. normalize-by-median -C 20 (paired streaming) on stamps-reads
+  3. trim-low-abund + filter-abund
+  4. unique-kmers (HLL), k=21 and k=31
+  5. load-graph -> partition-graph -> merge-partitions (stamps-genomes)
+
+Usage:  python benchmarks/bench_pipelines.py [--quick]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+REF_DATA = "/root/reference/data"
+STAMPS_READS = os.path.join(REF_DATA, "stamps-reads.fa.gz")
+STAMPS_GENOMES = os.path.join(REF_DATA, "stamps-genomes.fa")
+
+
+def make_synth_reads(path, genome_mb=3.2, coverage=20, readlen=100,
+                     seed=42):
+    rng = np.random.default_rng(seed)
+    G = int(genome_mb * 1e6)
+    genome = rng.integers(0, 4, G, dtype=np.uint8)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    n_reads = G * coverage // readlen
+    starts = rng.integers(0, G - readlen, n_reads)
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            s = starts[i]
+            f.write(b">r%d\n" % i)
+            f.write(lut[genome[s: s + readlen]].tobytes())
+            f.write(b"\n")
+    return n_reads
+
+
+def run_script(name, *args, env=None):
+    """Run scripts/<name> with args; returns wall seconds."""
+    cmd = [sys.executable, os.path.join(SCRIPTS, name), *args]
+    t0 = time.perf_counter()
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    dt = time.perf_counter() - t0
+    if r.returncode != 0:
+        raise RuntimeError(
+            "%s failed (%d):\n%s\n%s" % (name, r.returncode,
+                                         r.stdout[-2000:], r.stderr[-2000:]))
+    return dt
+
+
+def stage(results, pipeline, name, seconds, input_path=None, reads=None):
+    entry = {"stage": name, "seconds": round(seconds, 3)}
+    if input_path and os.path.exists(input_path):
+        mb = os.path.getsize(input_path) / 1e6
+        entry["input_mb"] = round(mb, 2)
+        entry["mb_per_s"] = round(mb / seconds, 2)
+    if reads:
+        entry["reads_per_s"] = round(reads / seconds)
+    results.setdefault(pipeline, []).append(entry)
+    print(f"[{pipeline}] {name}: {entry}", flush=True)
+
+
+def main(quick=False):
+    results = {}
+    tmp = tempfile.mkdtemp(prefix="khmer_tpu_bench_")
+    os.chdir(tmp)
+
+    synth = os.path.join(tempfile.gettempdir(), "khmer_tpu_bench_reads.fa")
+    if not os.path.exists(synth):
+        print("generating synthetic reads...", flush=True)
+        make_synth_reads(synth)
+    n_synth_reads = sum(1 for line in open(synth, "rb")
+                        if line.startswith(b">"))
+
+    # 1. load-into-counting (+ abundance-dist-single) — synthetic bulk
+    #    (BASELINE config; warm pass reported: the first run also pays
+    #    one-time XLA compiles, cached persistently)
+    for trial in range(2):
+        dt = run_script("load-into-counting.py", "-x", "1e8", "-N", "4",
+                        "-k", "20", "synth.ct", synth)
+    stage(results, "load-into-counting", "load-into-counting(64MB synth)",
+          dt, synth, n_synth_reads)
+    dt = run_script("abundance-dist-single.py", "-x", "1e8", "-N", "4",
+                    "-k", "20", synth, "synth.hist")
+    stage(results, "load-into-counting", "abundance-dist-single", dt, synth)
+
+    # stamps variant (the reference's own example pipeline)
+    dt = run_script("load-into-counting.py", "-x", "1e8", "-k", "20",
+                    "stamps-reads.ct", STAMPS_READS)
+    stage(results, "load-into-counting", "load-into-counting(stamps)",
+          dt, STAMPS_READS)
+
+    # 2. normalize-by-median -C 20 (paired streaming config)
+    dt = run_script("normalize-by-median.py", "-k", "20", "-C", "20",
+                    "-x", "1e8", "-o", "stamps.keep.fa", STAMPS_READS)
+    stage(results, "normalize-by-median", "diginorm C=20 (stamps)",
+          dt, STAMPS_READS)
+
+    # 3. trim-low-abund + filter-abund
+    dt = run_script("trim-low-abund.py", "-k", "20", "-x", "1e8",
+                    "-M", "4e8", STAMPS_READS)
+    stage(results, "trim+filter", "trim-low-abund (stamps)", dt,
+          STAMPS_READS)
+    dt = run_script("filter-abund.py", "stamps-reads.ct",
+                    "stamps.keep.fa")
+    stage(results, "trim+filter", "filter-abund", dt, "stamps.keep.fa")
+
+    # 4. unique-kmers (HLL)
+    for k in ("21", "31"):
+        dt = run_script("unique-kmers.py", "-k", k, STAMPS_READS)
+        stage(results, "unique-kmers", "unique-kmers k=%s" % k, dt,
+              STAMPS_READS)
+
+    # 5. partition pipeline on stamps-genomes
+    dt = run_script("load-graph.py", "-x", "1e7", "-k", "32",
+                    "stamps.graph", STAMPS_GENOMES)
+    stage(results, "partition", "load-graph", dt, STAMPS_GENOMES)
+    dt = run_script("partition-graph.py", "-s", "1e4", "stamps.graph")
+    stage(results, "partition", "partition-graph", dt)
+    dt = run_script("merge-partitions.py", "stamps.graph")
+    stage(results, "partition", "merge-partitions", dt)
+
+    out = os.path.join(REPO, "BENCH_PIPELINES.json")
+    import jax
+
+    payload = {
+        "backend": jax.default_backend(),
+        "generated_by": "benchmarks/bench_pipelines.py",
+        "pipelines": results,
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main(quick="--quick" in sys.argv)

@@ -136,12 +136,7 @@ def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False,
 
     def fn(table, occ, uniq, data, weights, *extra):
         if from_codes and hash_kind != "2bit":
-            # decode codes -> ASCII for byte-stream hashing
-            data = jnp.where(
-                data == 0, np.uint8(65),
-                jnp.where(data == 1, np.uint8(84),
-                          jnp.where(data == 2, np.uint8(67),
-                                    np.uint8(71))))
+            data = _decode_codes(data)
         hashes, w = _chunk_hashes_weights(
             data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
         i = 0
@@ -166,6 +161,148 @@ def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False,
         return table, occ, uniq, aux
 
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def _decode_codes(data):
+    """2-bit codes -> ASCII bytes (native loader output feeding a
+    byte-stream hash)."""
+    return jnp.where(
+        data == 0, np.uint8(65),
+        jnp.where(data == 1, np.uint8(84),
+                  jnp.where(data == 2, np.uint8(67), np.uint8(71))))
+
+
+def _consume_chunk_size():
+    """Per-dispatch chunk (bases) for bulk consumes: bigger on real
+    accelerators to amortize transfer/dispatch latency; CHUNK on the
+    CPU test backend.  Override with KHMER_TPU_CHUNK."""
+    import os
+
+    env = os.environ.get("KHMER_TPU_CHUNK")
+    if env:
+        return int(env)
+    if jax.default_backend() == "cpu":
+        return CHUNK
+    return 1 << 23
+
+
+def _producer_stream(produce, depth=6):
+    """Run `produce` (a generator) on a background thread with a
+    bounded queue: parsing + packing + h2d enqueue overlap the device
+    stream.  Re-raises producer exceptions in the consumer."""
+    import queue as _q
+    import threading
+
+    q = _q.Queue(maxsize=depth)
+    DONE, ERR = object(), object()
+
+    def run():
+        try:
+            for item in produce():
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            q.put((ERR, e))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+            raise item[1]
+        yield item
+    t.join()
+
+
+@lru_cache(maxsize=None)
+def _chunk_lane_count(k, hash_kind, chunk=CHUNK, payload=ROW_PAYLOAD):
+    """Static lane count emitted by _chunk_hashes_weights for a chunk."""
+    out = jax.eval_shape(
+        lambda d, w: _chunk_hashes_weights(d, w, k, hash_kind, payload),
+        jax.ShapeDtypeStruct((chunk,), jnp.uint8),
+        jax.ShapeDtypeStruct((chunk,), jnp.uint32))
+    return int(out[0].shape[0])
+
+
+# ASCII -> 2-bit code, inverse of _decode_codes (A=0 T=1 C=2 G=3);
+# non-ACGT bytes (the chunk separator) map to 0 and are weight-masked
+_ASCII_TO_CODE = np.zeros(256, np.uint8)
+for _b, _c in ((65, 0), (84, 1), (67, 2), (71, 3)):
+    _ASCII_TO_CODE[_b] = _c
+
+
+def _pack_chunk(codes, weights, from_ascii=False):
+    """Host-side transfer packing into ONE buffer: 2-bit codes
+    4-per-byte then the validity mask 8-per-byte (5.3x less
+    host->device traffic, ONE device_put — both the byte volume and
+    the per-put fixed cost dominate on tunneled/PCIe-fed devices).
+    ASCII byte streams (murmur tables) are translated to 2-bit codes
+    first; the device side restores them via _decode_codes."""
+    if from_ascii:
+        codes = _ASCII_TO_CODE[codes]
+    n = codes.shape[0]
+    buf = np.empty(n // 4 + n // 8, np.uint8)
+    c = codes.reshape(-1, 4)
+    np.bitwise_or(c[:, 0], c[:, 1] << 2, out=buf[: n // 4])
+    np.bitwise_or(buf[: n // 4], c[:, 2] << 4, out=buf[: n // 4])
+    np.bitwise_or(buf[: n // 4], c[:, 3] << 6, out=buf[: n // 4])
+    buf[n // 4:] = np.packbits(weights.astype(bool), bitorder="little")
+    return buf
+
+
+def _unpack_chunk(buf):
+    """Device-side inverse of _pack_chunk: u8[3N/8] -> (codes u8[N],
+    mask u8[N])."""
+    n = (buf.shape[0] * 8) // 3
+    shifts2 = jnp.arange(4, dtype=jnp.uint8) * 2
+    codes = ((buf[: n // 4, None] >> shifts2[None, :]) & 3).reshape(-1)
+    shifts1 = jnp.arange(8, dtype=jnp.uint8)
+    mask = ((buf[n // 4:, None] >> shifts1[None, :]) & 1).reshape(-1)
+    return codes, mask
+
+
+@lru_cache(maxsize=None)
+def _make_append_fn(k, hash_kind, masked, banded, from_codes=False,
+                    consume_masked=False, packed=False):
+    """Fused hash + filter + buffer-append kernel for the deferred
+    (sort-based) bulk consume path — see khmer_tpu/ops/deferred.py.
+    One dispatch per chunk; no random table access at all.  With
+    packed=True, `data` is the single bit-packed codes+mask buffer
+    (_pack_chunk), unpacked on device, and `weights` is absent."""
+    from khmer_tpu.ops.deferred import SENTINEL
+
+    def fn(kbuf, wbuf, fill, consumed, data, *rest):
+        if packed:
+            data, weights = _unpack_chunk(data)
+            extra = rest
+        else:
+            weights, extra = rest[0], rest[1:]
+        if from_codes and hash_kind != "2bit":
+            data = _decode_codes(data)
+        hashes, w = _chunk_hashes_weights(
+            data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
+        i = 0
+        if banded:
+            bmin, bmax = extra[i], extra[i + 1]
+            i += 2
+            w = w * ((hashes >= bmin) & (hashes < bmax)).astype(U32)
+        if masked is not None:
+            mask_table, threshold = extra[i], extra[i + 1]
+            mc = sketch_get(masked, mask_table, hashes)
+            if consume_masked:
+                keep = mc.astype(U32) >= threshold
+            else:
+                keep = mc.astype(U32) <= threshold
+            w = w * keep.astype(U32)
+        consumed = consumed + jnp.sum(w.astype(U64))
+        key = jnp.where(w > 0, hashes, SENTINEL)
+        kbuf = jax.lax.dynamic_update_slice(kbuf, key, (fill,))
+        wbuf = jax.lax.dynamic_update_slice(wbuf, w, (fill,))
+        return kbuf, wbuf, consumed
+
+    return jax.jit(fn, donate_argnums=(0, 1))
 
 
 @lru_cache(maxsize=None)
@@ -311,10 +448,17 @@ class _FlatBatcher:
         return data, mask
 
     def drain(self):
+        """Flush the partial tail chunk, padded to the smallest
+        power-of-two bucket (>= one hash-kernel row) — small inputs
+        must not pay full-chunk kernel costs."""
         if self.filled == 0:
             return None
         data, mask = self._flush()
-        pad = self.chunk - data.shape[0]
+        bucket = ROW_PAYLOAD
+        while bucket < data.shape[0]:
+            bucket *= 2
+        bucket = min(bucket, self.chunk)
+        pad = bucket - data.shape[0]
         if pad:
             data = np.concatenate([data, np.zeros(pad, np.uint8)])
             mask = np.concatenate([mask, np.zeros(pad, np.uint8)])
@@ -517,7 +661,13 @@ class Hashtable:
 
     def _run_consume(self, reads_iter, mask=None, threshold=0,
                      num_bands=None, band=None, consume_masked=False):
-        """Shared driver for consume_seqfile* variants.
+        """Shared driver for consume_seqfile* variants, running the
+        deferred (sort-based) bulk path: chunks append hashed lanes to
+        a device buffer; duplicate hashes are combined by sort-merge;
+        the sketch scatter happens per DISTINCT hash at flush time
+        (khmer_tpu/ops/deferred.py).  Valid because consume_seqfile
+        callers never interleave reads with the load (reference usage,
+        e.g. scripts/load-into-counting.py:103 then queries after).
 
         Returns (n_reads, n_consumed); n_consumed counts the k-mers
         that passed the band/mask filters (reference semantics)."""
@@ -525,9 +675,9 @@ class Hashtable:
 
         banded = num_bands is not None
         masked_spec = mask.storage._read_spec() if mask is not None else None
-        fn = _make_consume_fn(self.storage._read_spec(), self._ksize,
-                              self.hash_kind, masked_spec, banded,
-                              consume_masked=consume_masked)
+        fn = _make_append_fn(self._ksize, self.hash_kind, masked_spec,
+                             banded, from_codes=True,
+                             consume_masked=consume_masked, packed=True)
         extra = []
         if banded:
             bmin, bmax = compute_band_interval(num_bands, band)
@@ -535,22 +685,23 @@ class Hashtable:
         if mask is not None:
             extra += [mask.storage.table, jnp.asarray(threshold, U32)]
 
-        st = self.storage
-        batcher = _FlatBatcher(self._ksize)
-        n_reads = 0
-        table, uniq = st.table, st._n_unique
-        occ = jnp.zeros((), U64)
-        consumed = jnp.zeros((), U64)
-        auxes = []
+        from khmer_tpu.ops.deferred import DeferredCounter
 
-        def run(data, weights):
-            nonlocal table, occ, uniq, consumed
-            table, occ, uniq, aux = fn(
-                table, occ, uniq, jnp.asarray(data), jnp.asarray(weights),
-                *extra)
-            consumed = consumed + aux["consumed"]
-            if st.get_use_bigcount() and "bigcount_hashes" in aux:
-                auxes.append(aux)
+        st = self.storage
+        chunk = _consume_chunk_size()
+        counter = DeferredCounter(
+            st, _chunk_lane_count(self._ksize, self.hash_kind, chunk))
+        batcher = _FlatBatcher(self._ksize, chunk)
+        n_reads = 0
+        consumed = jnp.zeros((), U64)
+
+        def push(data, weights):
+            buf = _pack_chunk(data, weights,
+                              from_ascii=self.hash_kind != "2bit")
+            return counter.append_chunk(
+                fn, consumed, (jax.device_put(buf),), extra,
+                lanes=_chunk_lane_count(
+                    self._ksize, self.hash_kind, data.shape[0]))
 
         for read in reads_iter:
             seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
@@ -558,15 +709,11 @@ class Hashtable:
             n_reads += 1
             codes = self._encode(seq)
             for data, weights in batcher.add(codes):
-                run(data, weights)
+                consumed = push(data, weights)
         tail = batcher.drain()
         if tail is not None:
-            run(*tail)
-
-        st.table, st._n_unique = table, uniq
-        st._loaded_occupied = None
-        for aux in auxes:
-            st._track_bigcount_aux(aux)
+            consumed = push(*tail)
+        counter.finish()
         return n_reads, int(consumed)
 
     def _reads(self, parser_or_filename):
@@ -579,13 +726,84 @@ class Hashtable:
 
         Parity: Hashtable::consume_seqfile, src/oxli/hashtable.cc:133-158.
         Uses the native C++ loader (parse+clean+encode+batch) when
-        available; falls back to the python parser otherwise."""
+        available; falls back to the python parser otherwise.  With
+        more than one JAX device the consume runs sharded over the
+        mesh (zero-comms deferred streaming + routed flush,
+        khmer_tpu/parallel/sharded.py); disable with
+        KHMER_TPU_SHARDED=0."""
+        if self._use_sharded(parser_or_filename):
+            return self._consume_sharded(parser_or_filename)
         if self._can_use_native(parser_or_filename):
             try:
                 return self._consume_native(parser_or_filename)
             except (RuntimeError, OSError, ValueError):
                 pass
         return self._run_consume(self._reads(parser_or_filename))
+
+    def _use_sharded(self, parser_or_filename=None):
+        import os
+
+        mode = os.environ.get("KHMER_TPU_SHARDED", "auto").lower()
+        if mode in ("0", "off", "serial", "false"):
+            return False
+        if getattr(self.storage, "spec", None) is None:
+            return False
+        if len(jax.devices()) < 2:
+            return False
+        if mode in ("1", "on", "force", "always", "true"):
+            return True
+        # auto: sharding pays off only on bulk inputs — per-spec
+        # shard_map compiles and per-shard buffers cost seconds, so
+        # small files stay on the single-device deferred path
+        min_mb = float(os.environ.get("KHMER_TPU_SHARD_MIN_MB", "64"))
+        if not isinstance(parser_or_filename, str):
+            return False
+        try:
+            return os.path.getsize(parser_or_filename) >= min_mb * 1e6
+        except OSError:
+            return False
+
+    def _consume_sharded(self, parser_or_filename):
+        """Multi-device bulk consume: every device hashes and buffers
+        its own chunk stream (no communication); distinct lanes route
+        to their hash-band owners at flush (parallel/sharded.py)."""
+        from khmer_tpu.parallel.sharded import ShardedDeferredConsumer
+
+        st = self.storage
+        native = self._can_use_native(parser_or_filename)
+        consumer = ShardedDeferredConsumer(
+            st._read_spec(), self._ksize, self.hash_kind,
+            chunk=CHUNK, from_codes=native)
+        if native:
+            from khmer_tpu.native import NativeChunkReader
+
+            reader = NativeChunkReader(parser_or_filename, self._ksize,
+                                       CHUNK)
+            for data, weights in reader:
+                consumer.add_chunk(data, weights)
+            n_reads, _, _ = reader.stats()
+            n_reads = int(n_reads)
+            reader.close()
+        else:
+            batcher = _FlatBatcher(self._ksize)
+            n_reads = 0
+            for read in self._reads(parser_or_filename):
+                seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
+                    else str(read)
+                n_reads += 1
+                codes = self._encode(seq)
+                for data, weights in batcher.add(codes):
+                    consumer.add_chunk(data, weights)
+            tail = batcher.drain()
+            if tail is not None:
+                consumer.add_chunk(*tail)
+        delta, n_unique, n_consumed, cands = consumer.finish(st.table)
+        st.table = (st.table + delta).astype(U32)
+        st._n_unique = st._n_unique + jnp.uint64(n_unique)
+        st._loaded_occupied = None
+        if cands and st.get_use_bigcount():
+            st.bigcount_candidates.update(cands)
+        return n_reads, n_consumed
 
     @staticmethod
     def _can_use_native(parser_or_filename):
@@ -604,25 +822,27 @@ class Hashtable:
         return native_available()
 
     def _consume_native(self, filename):
-        """Bulk consume through the C++ chunk loader."""
+        """Bulk consume through the C++ chunk loader (deferred path,
+        bit-packed host->device transfer)."""
         from khmer_tpu.native import NativeChunkReader
+        from khmer_tpu.ops.deferred import DeferredCounter
 
         st = self.storage
-        fn = _make_consume_fn(st._read_spec(), self._ksize,
-                              self.hash_kind, None, False, from_codes=True)
-        reader = NativeChunkReader(filename, self._ksize, CHUNK)
-        table, uniq = st.table, st._n_unique
-        occ = jnp.zeros((), U64)
-        auxes = []
-        for data, weights in reader:
-            table, occ, uniq, aux = fn(
-                table, occ, uniq, jnp.asarray(data), jnp.asarray(weights))
-            if st.get_use_bigcount() and "bigcount_hashes" in aux:
-                auxes.append(aux)
-        st.table, st._n_unique = table, uniq
-        st._loaded_occupied = None
-        for aux in auxes:
-            st._track_bigcount_aux(aux)
+        fn = _make_append_fn(self._ksize, self.hash_kind, None, False,
+                             from_codes=True, packed=True)
+        chunk = _consume_chunk_size()
+        reader = NativeChunkReader(filename, self._ksize, chunk)
+        counter = DeferredCounter(
+            st, _chunk_lane_count(self._ksize, self.hash_kind, chunk))
+        consumed = jnp.zeros((), U64)
+
+        def produce():
+            for data, weights in reader:
+                yield jax.device_put(_pack_chunk(data, weights))
+
+        for buf in _producer_stream(produce):
+            consumed = counter.append_chunk(fn, consumed, (buf,))
+        counter.finish()
         n_reads, n_consumed, _ = reader.stats()
         reader.close()
         return int(n_reads), int(n_consumed)
@@ -800,8 +1020,8 @@ class Hashtable:
 
         def run(data, weights):
             nonlocal t_table, t_uniq, dist
-            out = fn(st.table, t_table, t_uniq, jnp.asarray(data),
-                     jnp.asarray(weights))
+            out = fn(st.table, t_table, t_uniq, jax.device_put(data),
+                     jax.device_put(weights))
             if want_lanes:
                 t_table, t_uniq, d, counts, first, ks = out
                 counts = np.asarray(counts)

@@ -112,3 +112,94 @@ def test_merge_is_plain_sum():
     t = jnp.ones((2, 2, spec.total_bins + 1), jnp.uint32)
     merged = merge_tables_saturating(t, spec)
     assert np.asarray(merged).max() == 4
+
+
+# ---------------------------------------------------------------------------
+# Round 2: deferred sharded consume through the USER-FACING pipeline API
+# ---------------------------------------------------------------------------
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(">r%d\n%s\n" % (i, s))
+
+
+def _random_reads(n, length, seed=0):
+    rng = np.random.default_rng(seed)
+    return ["".join("ACGT"[c] for c in rng.integers(0, 4, length))
+            for _ in range(n)]
+
+
+def test_consume_seqfile_sharded_matches_serial(tmpdir, monkeypatch):
+    _need_devices(2)
+    from khmer_tpu.graph import Countgraph
+
+    infile = str(tmpdir.join("reads.fa"))
+    _write_fasta(infile, _random_reads(300, 90, seed=3) * 3)
+
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "0")
+    serial = Countgraph(K, 9973, 3)
+    sr, sc = serial.consume_seqfile(infile)
+
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "1")
+    sharded = Countgraph(K, 9973, 3)
+    assert sharded._use_sharded()
+    hr, hc = sharded.consume_seqfile(infile)
+
+    assert (sr, sc) == (hr, hc)
+    assert np.array_equal(np.asarray(serial.storage.table),
+                          np.asarray(sharded.storage.table))
+    assert serial.n_unique_kmers() == sharded.n_unique_kmers()
+    assert serial.n_occupied() == sharded.n_occupied()
+
+
+def test_consume_seqfile_sharded_skewed_polyA(tmpdir, monkeypatch):
+    """Round-1 routing dropped overflow lanes under skew (all poly-A
+    k-mers own-hash to ONE shard); the deferred router must be exact."""
+    _need_devices(2)
+    from khmer_tpu.graph import Countgraph
+
+    infile = str(tmpdir.join("polya.fa"))
+    # ~27k copies of the same k-mer + a sprinkle of distinct ones
+    seqs = ["A" * 300] * 90 + _random_reads(10, 60, seed=7)
+    _write_fasta(infile, seqs)
+
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "0")
+    serial = Countgraph(K, 9973, 3)
+    serial.set_use_bigcount(True)
+    sr, sc = serial.consume_seqfile(infile)
+
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "1")
+    sharded = Countgraph(K, 9973, 3)
+    sharded.set_use_bigcount(True)
+    hr, hc = sharded.consume_seqfile(infile)
+
+    assert (sr, sc) == (hr, hc)
+    assert np.array_equal(np.asarray(serial.storage.table),
+                          np.asarray(sharded.storage.table))
+    # bigcount: the poly-A k-mer passed 255 and must resolve exactly
+    assert serial.get("A" * K) == sharded.get("A" * K)
+    assert sharded.get("A" * K) > 255
+    assert serial.storage.resolved_bigcounts() == \
+        sharded.storage.resolved_bigcounts()
+
+
+def test_consume_seqfile_sharded_nodegraph(tmpdir, monkeypatch):
+    _need_devices(2)
+    from khmer_tpu.graph import Nodegraph
+
+    infile = str(tmpdir.join("reads.fa"))
+    _write_fasta(infile, _random_reads(100, 80, seed=11))
+
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "0")
+    serial = Nodegraph(K, 4999, 3)
+    serial.consume_seqfile(infile)
+
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "1")
+    sharded = Nodegraph(K, 4999, 3)
+    sharded.consume_seqfile(infile)
+
+    assert np.array_equal(np.asarray(serial.storage.raw_bytes()),
+                          np.asarray(sharded.storage.raw_bytes()))
+    assert serial.n_unique_kmers() == sharded.n_unique_kmers()
