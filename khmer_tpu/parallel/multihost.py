@@ -53,42 +53,67 @@ def distributed_count(filenames, spec, k, hash_kind="2bit", data_axis=None,
     """Count k-mers from `filenames` across every device of every host.
 
     Builds a global ("data", "shard") mesh over jax.devices(), streams
-    each host's file shard through the native loader, and feeds
-    per-device chunks into the sharded consume step.  Returns the
-    ShardedCountConsumer (query/merge through its methods)."""
+    each host's file shard through the native loader, and feeds each
+    process's LOCAL device chunks into the sharded consume step
+    (jax.make_array_from_process_local_data assembles the global
+    array).  SPMD-safe under uneven file shards: every step is gated
+    on a cross-process allgather of per-host progress, so all
+    processes issue identical collective sequences — a host whose
+    files are exhausted keeps stepping with zero-weight chunks until
+    every host is done.  Returns the ShardedCountConsumer."""
+    import itertools
+
     from khmer_tpu.native import NativeChunkReader, native_available
 
     mesh = make_mesh(jax.devices(), data=data_axis)
     consumer = ShardedCountConsumer(spec, k, hash_kind, mesh=mesh,
                                     chunk=chunk)
     D, S = consumer.D, consumer.S
-    per_step = D * S
 
     if not native_available():
         raise RuntimeError("native loader required for distributed_count")
 
-    my_files = shard_files_for_host(filenames)
-    pending_data = []
-    pending_mask = []
+    multi = jax.process_count() > 1
+    if multi and D != 1:
+        raise ValueError(
+            "multi-process distributed_count supports a [1, S] mesh "
+            "(every device a hash-band shard); got data=%d" % D)
 
-    def flush():
-        n = len(pending_data)
-        if n == 0:
-            return
-        while len(pending_data) < per_step:
-            pending_data.append(np.zeros(chunk, np.uint8))
-            pending_mask.append(np.zeros(chunk, np.uint8))
-        data = np.stack(pending_data).reshape(D, S, chunk)
-        mask = np.stack(pending_mask).reshape(D, S, chunk)
-        consumer.consume_chunks(data, mask)
-        pending_data.clear()
-        pending_mask.clear()
+    # local rows of the global [D, S, chunk] batch owned by this process
+    n_local = sum(d.process_index == jax.process_index()
+                  for d in mesh.devices.flat)
 
-    for filename in my_files:
-        for data, mask in NativeChunkReader(filename, k, chunk):
-            pending_data.append(data)
-            pending_mask.append(mask)
-            if len(pending_data) == per_step:
-                flush()
-    flush()
+    def local_chunks():
+        for filename in shard_files_for_host(filenames):
+            yield from NativeChunkReader(filename, k, chunk)
+
+    it = local_chunks()
+    while True:
+        batch = list(itertools.islice(it, n_local))
+        got = len(batch)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray(got, np.int32))
+            if int(np.max(flags)) == 0:
+                break
+        elif got == 0:
+            break
+        while len(batch) < n_local:
+            batch.append((np.zeros(chunk, np.uint8),
+                          np.zeros(chunk, np.uint8)))
+        local_data = np.stack([d for d, _ in batch])
+        local_mask = np.stack([m.astype(np.uint32) for _, m in batch])
+        if multi:
+            data = jax.make_array_from_process_local_data(
+                consumer.shardings["data"],
+                local_data.reshape(1, n_local, chunk))
+            mask = jax.make_array_from_process_local_data(
+                consumer.shardings["data"],
+                local_mask.reshape(1, n_local, chunk))
+            consumer.consume_chunks_arrays(data, mask)
+        else:
+            consumer.consume_chunks(local_data.reshape(D, S, chunk),
+                                    local_mask.reshape(D, S, chunk))
     return consumer

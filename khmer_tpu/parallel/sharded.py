@@ -238,31 +238,49 @@ class ShardedCountConsumer:
             jnp.zeros((self.D, self.S), U64), self.shardings["scal"])
         self.uniq = jax.device_put(
             jnp.zeros((self.D, self.S), U64), self.shardings["scal"])
-        self.n_dropped = 0
+        self.dropped = jax.device_put(
+            jnp.zeros((self.D, self.S), U32), self.shardings["scal"])
+        # replicated-output reducers: REQUIRED on multi-process meshes,
+        # where eager reads of partially-addressable arrays fail
+        rep = NamedSharding(self.mesh, P())
+        self._sum_scal = jax.jit(
+            lambda x: jnp.sum(x.astype(U64)), out_shardings=rep)
+        self._merge = jax.jit(
+            lambda t: merge_tables_saturating(t, spec), out_shardings=rep)
 
     def consume_chunks(self, data, weights):
-        """data/weights: [D, S, chunk] host arrays (one chunk/device)."""
+        """data/weights: [D, S, chunk] host arrays (one chunk/device),
+        identical on every process of a multi-host run."""
         data = jax.device_put(np.asarray(data, np.uint8),
                               self.shardings["data"])
         weights = jax.device_put(np.asarray(weights, np.uint32),
                                  self.shardings["data"])
+        self.consume_chunks_arrays(data, weights)
+
+    def consume_chunks_arrays(self, data, weights):
+        """Same as consume_chunks for already-sharded global jax
+        arrays (multi-host callers build them with
+        jax.make_array_from_process_local_data)."""
         self.tables, self.occ, self.uniq, dropped = self.step(
             self.tables, self.occ, self.uniq, data, weights)
-        self.n_dropped += int(jnp.sum(dropped))
+        self.dropped = self.dropped + dropped
+
+    @property
+    def n_dropped(self):
+        return int(np.asarray(self._sum_scal(self.dropped)))
 
     def get_counts(self, hashes):
         return np.asarray(
             self.query(self.tables, jnp.asarray(hashes, U64)))
 
     def merged_table(self):
-        return np.asarray(
-            merge_tables_saturating(self.tables, self.spec))
+        return np.asarray(self._merge(self.tables))
 
     def n_unique_kmers(self):
         # per-shard uniq sums are exact per band (bands partition the
         # hash space); cross-band FP suppression makes this >= the
         # serial estimate, never less accurate.
-        return int(jnp.sum(self.uniq))
+        return int(np.asarray(self._sum_scal(self.uniq)))
 
 
 # ---------------------------------------------------------------------------
