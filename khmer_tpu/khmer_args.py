@@ -1,3 +1,7 @@
+# Derived in part from khmer (https://github.com/dib-lab/khmer/),
+# Copyright (C) 2010-2015 Michigan State University,
+# Copyright (C) 2015-2016 The Regents of the University of California;
+# BSD 3-clause — full license text: LICENSE.third-party at repo root.
 """Common argparse constructs + the memory->table-geometry solver.
 
 Parity: reference khmer/khmer_args.py.  The solver (optimal_size /

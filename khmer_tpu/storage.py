@@ -97,19 +97,30 @@ class Storage:
                               self._use_bigcount)
         return self.spec
 
-    def _track_bigcount_aux(self, aux):
+    def _track_bigcount_aux(self, aux, hashes=None):
         if "bigcount_hashes" in aux and self._use_bigcount:
             valid = np.asarray(aux["bigcount_valid"])
             if valid.any():
                 hs = np.asarray(aux["bigcount_hashes"])[valid]
                 self.bigcount_candidates.update(int(x) for x in np.unique(hs))
             if bool(aux.get("bigcount_overflow", False)):
-                import warnings
-
-                warnings.warn(
-                    "bigcount candidate budget overflowed for one batch; "
-                    "counts >255 for some k-mers may be missing from the "
-                    "saved bigcount section")
+                # more distinct 255-crossing hashes in one batch than
+                # candidate lanes: recover EXACTLY from the batch
+                # itself — bins hold true totals (saturation applies
+                # at read), so every batch hash now above MAX_KCOUNT
+                # is a candidate.  Silent loss is not an option: the
+                # OXLI bigcount save section must be complete.
+                if hashes is None:
+                    raise RuntimeError(
+                        "bigcount candidate budget overflowed and the "
+                        "batch hashes are unavailable for exact "
+                        "recovery (raise BIGCOUNT_LANES)")
+                hs = np.unique(np.asarray(hashes, np.uint64).reshape(-1))
+                counts = np.asarray(sketch_get(
+                    SketchSpec(self.spec.kind, self.spec.tablesizes, True),
+                    self.table, jnp.asarray(hs)))
+                self.bigcount_candidates.update(
+                    int(h) for h, c in zip(hs, counts) if c > MAX_KCOUNT)
 
     def resolved_bigcounts(self):
         """Exact {hash: count} for counts in (255, 65535] — the OXLI
@@ -154,7 +165,7 @@ class Storage:
             self.spec, self.table, jnp.zeros((), U64), self._n_unique,
             hashes.reshape(-1), weights.reshape(-1))
         self._loaded_occupied = None
-        self._track_bigcount_aux(aux)
+        self._track_bigcount_aux(aux, hashes=hashes)
         return aux["premin"] == 0
 
     def update_stats(self, table, n_occupied, n_unique, aux):

@@ -1,4 +1,8 @@
 #!/usr/bin/env python
+# Derived in part from khmer (https://github.com/dib-lab/khmer/),
+# Copyright (C) 2010-2015 Michigan State University,
+# Copyright (C) 2015-2016 The Regents of the University of California;
+# BSD 3-clause — full license text: LICENSE.third-party at repo root.
 """Digital normalization with a coverage-variance cutoff: keep (and
 consume) a read only when its median k-mer abundance is below C AND
 its count stddev is under 100% of the mean.

@@ -1,4 +1,8 @@
 #!/usr/bin/env python
+# Derived in part from khmer (https://github.com/dib-lab/khmer/),
+# Copyright (C) 2010-2015 Michigan State University,
+# Copyright (C) 2015-2016 The Regents of the University of California;
+# BSD 3-clause — full license text: LICENSE.third-party at repo root.
 """Find highly-connected k-mers and output them in a .stoptags file.
 
 % python scripts/find-knots.py <base>

@@ -1,4 +1,8 @@
 #!/usr/bin/env python
+# Derived in part from khmer (https://github.com/dib-lab/khmer/),
+# Copyright (C) 2010-2015 Michigan State University,
+# Copyright (C) 2015-2016 The Regents of the University of California;
+# BSD 3-clause — full license text: LICENSE.third-party at repo root.
 """Interleave left and right reads.
 
 % scripts/interleave-reads.py <R1> <R2> [ -o <outputfile> ]

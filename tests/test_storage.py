@@ -171,3 +171,20 @@ def test_header_layout(tmp_path):
     assert int.from_bytes(blob[20:28], "little") == 101  # table 0 size
     # total: header 20 + (8+101) + (8+103) + 8 (bigcount count)
     assert len(blob) == 20 + 109 + 111 + 8
+
+
+def test_bigcount_overflow_recovers_exactly(monkeypatch):
+    """When one batch crosses 255 on more distinct hashes than the
+    device candidate budget, candidates are recovered exactly from the
+    batch (VERDICT round-2 #8: never warn-and-lose)."""
+    import khmer_tpu.ops.sketch_ops as so
+
+    monkeypatch.setattr(so, "BIGCOUNT_LANES", 4)
+    st = ByteStorage([20011, 20021])  # fresh sizes -> fresh jit trace
+    st.set_use_bigcount(True)
+    hashes = np.arange(1, 33, dtype=np.uint64) * 977
+    for _ in range(2):
+        st.add_batch(np.repeat(hashes, 150))  # 300 each: crosses 255
+    resolved = st.resolved_bigcounts()
+    for h in hashes:
+        assert resolved[int(h)] == 300
