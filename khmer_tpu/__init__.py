@@ -122,6 +122,17 @@ def extract_countgraph_info(filename):
                   version, ht_type, occupied)
 
 
+def __version_cpp__():
+    """Version stamp compiled into the native (C++) runtime — the
+    analogue of reference khmer.__version_cpp__ (_cpy_khmer.cc /
+    tests/test_version.py).  Falls back to the package version when
+    the native loader is unavailable (pure-python mode)."""
+    from khmer_tpu.native import native_version
+
+    v = native_version()
+    return v if v is not None else __version__
+
+
 def calc_expected_collisions(graph, force=False, max_false_pos=.2):
     """FP-rate estimate + guard (khmer/__init__.py:182-216)."""
     sizes = graph.hashsizes()

@@ -26,10 +26,28 @@ _build_failed = False
 
 
 def _build():
+    from khmer_tpu._version import __version__
+
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+           '-DKHMER_TPU_VERSION="%s"' % __version__,
            "-lz", "-o", _SO + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
+
+
+def native_version():
+    """Version string compiled into the native runtime (None when the
+    native library is unavailable or predates the version stamp)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.kio_version
+    except AttributeError:
+        return None
+    fn.restype = ctypes.c_char_p
+    fn.argtypes = []
+    return fn().decode()
 
 
 def get_lib():

@@ -238,3 +238,15 @@ void kio_close(void* handle) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// version stamp compiled into the native runtime; the python layer
+// compares it with the package version (khmer.__version_cpp__()
+// parity, reference tests/test_version.py)
+#ifndef KHMER_TPU_VERSION
+#define KHMER_TPU_VERSION "unknown"
+#endif
+const char* kio_version() { return KHMER_TPU_VERSION; }
+
+}  // extern "C"

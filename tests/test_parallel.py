@@ -203,3 +203,46 @@ def test_consume_seqfile_sharded_nodegraph(tmpdir, monkeypatch):
     assert np.array_equal(np.asarray(serial.storage.raw_bytes()),
                           np.asarray(sharded.storage.raw_bytes()))
     assert serial.n_unique_kmers() == sharded.n_unique_kmers()
+
+
+def test_sharded_n_unique_deviation_is_bounded(tmpdir):
+    """Pin the documented deviation: ShardedCountConsumer's per-band
+    unique sums can only EXCEED the serial single-table estimate
+    (cross-band FP suppression), and on realistic data the excess is
+    tiny (VERDICT round-2 #9).  The deferred consumer used by
+    consume_seqfile is exact (asserted above); this covers the
+    streaming all_to_all consumer."""
+    _need_devices(2)
+    from khmer_tpu.graph import Countgraph
+    from khmer_tpu.hashtable import _chunk_hashes_weights
+    from khmer_tpu.ops.sketch_ops import SketchSpec
+    from khmer_tpu.parallel.sharded import ShardedCountConsumer, make_mesh
+
+    rng = np.random.default_rng(5)
+    chunk = 4096
+    mesh = make_mesh(jax.devices()[:8], data=1)
+    spec = SketchSpec("byte", (9973, 9967, 9949), False)
+    c = ShardedCountConsumer(spec, K, "2bit", mesh=mesh, chunk=chunk)
+    data = rng.integers(0, 4, (1, 8, chunk), dtype=np.uint8)
+    weights = np.ones((1, 8, chunk), np.uint32)
+    weights[..., chunk - K + 1:] = 0
+    c.consume_chunks(data, weights)
+
+    serial = Countgraph(K, primes=[9973, 9967, 9949])
+    all_hashes = []
+    for s in range(8):
+        h, w = _chunk_hashes_weights(
+            jnp.asarray(data[0, s]), jnp.asarray(weights[0, s]),
+            K, "2bit", 1 << 12)
+        hs = np.asarray(h)[np.asarray(w) > 0]
+        all_hashes.append(hs)
+        serial.storage.add_batch(hs)
+
+    truth = len(np.unique(np.concatenate(all_hashes)))
+    est_serial = serial.n_unique_kmers()
+    est_sharded = c.n_unique_kmers()
+    # both estimators undercount truth via CMS false positives; the
+    # sharded one has S x the effective table capacity per band, so it
+    # is always the closer (larger) estimate
+    assert est_serial <= est_sharded <= truth
+    assert est_sharded >= 0.95 * truth
