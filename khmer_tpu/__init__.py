@@ -29,6 +29,7 @@ from khmer_tpu.io.fastx import Read, FastxReader
 from khmer_tpu.io.oxli_format import FILETYPES
 from khmer_tpu.hashtable import (
     BufferedQFCounttable,
+    OnDiskQFCounttable,
     Counttable,
     CyclicCounttable,
     QFCounttable,

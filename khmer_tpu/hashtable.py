@@ -1122,7 +1122,7 @@ class QFCounttable(Hashtable):
     storage_class = QFStorage
     hash_kind = "murmur"
 
-    def __init__(self, k, size, slot_size=None):
+    def __init__(self, k, size, slot_size=None, on_disk=None):
         k = int(k)
         if k < 1 or k > 255:
             raise ValueError("k-mer size must be in [1, 255]")
@@ -1131,9 +1131,9 @@ class QFCounttable(Hashtable):
             # round up to the next power of two (reference rounds the
             # number of slots to 2^ceil(log2(size)))
             size = 1 << (size - 1).bit_length()
-        self.slot_size = slot_size  # MQF fixed-counter width (fork N5)
+        self.slot_size = slot_size  # MQF remainder width (fork N5)
         self._ksize = k
-        self.storage = QFStorage(size, slot_size)
+        self.storage = QFStorage(size, slot_size, on_disk=on_disk)
 
     @staticmethod
     def _can_use_native(parser_or_filename):
@@ -1245,6 +1245,21 @@ class QFCounttable(Hashtable):
 
     def _post_load(self):
         self.slot_size = None
+
+
+class OnDiskQFCounttable(QFCounttable):
+    """Disk-backed quotient-filter counttable: the fork's onDiskMQF
+    (reference third-party/MQF/onDiskMQF.h over stxxl vectors; C++-only
+    in the reference — never exposed to its python layer).  Here the
+    sorted (key, count) arrays spill to memmap files in `directory`,
+    so the filter can exceed RAM; queries page lazily through the OS
+    cache, and saves/loads use the same raw MQF dump format as
+    QFCounttable."""
+
+    def __init__(self, k, size, slot_size=None, directory=None):
+        if directory is None:
+            raise ValueError("OnDiskQFCounttable requires a directory")
+        super().__init__(k, size, slot_size, on_disk=directory)
 
 
 class BufferedQFCounttable(QFCounttable):

@@ -110,18 +110,20 @@ def save_storage(filename, ksize, storage):
     """Save a Byte/Bit/Nibble/QF storage in OXLI format."""
     kind = storage.kind
     if kind == "qf":
-        # SAVED_QFCOUNT framing follows the reference header
-        # (storage.cc:919-935: sig, version, type, 1-byte ksize); the
-        # payload is this port's sorted (key, count) dictionary rather
-        # than a raw MQF block dump (which encodes the same multiset).
+        # SAVED_QFCOUNT: the reference's RAW MQF block dump
+        # (QFStorage::save storage.cc:919-936 — sig, version, type,
+        # 1-byte ksize, 192-byte qfmetadata, RSQF blocks); encoded by
+        # io/mqf_format.py and verified bidirectionally against the
+        # reference's own MQF library in tests/test_qf.py.
+        from khmer_tpu.io.mqf_format import write_qf_dump
+
         keys, counts = storage.state_arrays()
         with _open_out(filename) as f:
             f.write(SAVED_SIGNATURE)
-            f.write(struct.pack("BBB", SAVED_FORMAT_VERSION,
-                                SAVED_QFCOUNT, int(ksize)))
-            f.write(struct.pack("<QQ", storage.nslots, keys.shape[0]))
-            f.write(np.ascontiguousarray(keys, np.uint64).tobytes())
-            f.write(np.ascontiguousarray(counts, np.uint64).tobytes())
+            f.write(struct.pack("BB", SAVED_FORMAT_VERSION,
+                                SAVED_QFCOUNT))
+            write_qf_dump(f, int(ksize), keys, counts,
+                          storage.nslots, storage.rem_bits)
         return
     raw = storage.raw_bytes()
     sizes = storage.spec.tablesizes
@@ -177,15 +179,37 @@ def load_storage(filename, expected_kinds=("byte", "bit", "nibble")):
                 raise OxliFileError(
                     "Incorrect file format type {} while reading k-mer "
                     "file from {}".format(ht_type, filename))
+            from khmer_tpu.io.mqf_format import (MQFFormatError,
+                                                 parse_metadata)
+
             (ksize,) = struct.unpack("B", _read_exact(f, 1, filename))
-            nslots, n_entries = struct.unpack(
-                "<QQ", _read_exact(f, 16, filename))
-            keys = np.frombuffer(
-                _read_exact(f, 8 * n_entries, filename), np.uint64)
-            counts = np.frombuffer(
-                _read_exact(f, 8 * n_entries, filename), np.uint64)
-            store = QFStorage(nslots)
-            store.set_state_arrays(keys.copy(), counts.copy())
+            blob = f.read(192)
+            if len(blob) < 16:
+                raise OxliFileError(
+                    "Truncated QF section in {}".format(filename))
+            try:
+                # the reference's raw MQF dump (io/mqf_format.py)
+                meta = parse_metadata(blob)
+            except MQFFormatError:
+                # round-1 legacy payload: nslots u64, n u64, keys,
+                # counts (still readable for old saves)
+                nslots, n_entries = struct.unpack("<QQ", blob[:16])
+                rest = blob[16:] + f.read()
+                keys = np.frombuffer(
+                    rest[: 8 * n_entries], np.uint64)
+                counts = np.frombuffer(
+                    rest[8 * n_entries: 16 * n_entries], np.uint64)
+                store = QFStorage(nslots)
+                store.set_state_arrays(keys.copy(), counts.copy())
+                return store, ksize
+            from khmer_tpu.io.mqf_format import decode_blocks
+
+            region = _read_exact(f, meta["size"], filename)
+            keys, counts = decode_blocks(meta, region)
+            slot = meta["key_remainder_bits"]
+            store = QFStorage(meta["nslots"],
+                              None if slot == 8 else slot)
+            store.set_state_arrays(keys, counts)
             return store, ksize
         kind = {SAVED_COUNTING_HT: "byte", SAVED_HASHBITS: "bit",
                 SAVED_SMALLCOUNT: "nibble"}.get(ht_type)

@@ -285,18 +285,27 @@ class QFStorage:
     supports_bigcount = False
     MIN_FLUSH = 1 << 18
 
-    def __init__(self, size, slot_size=None):
+    def __init__(self, size, slot_size=None, on_disk=None):
         import math
 
         size = int(size)
         if size <= 0 or size & (size - 1):
             raise ValueError("QF size must be a power of two")
         self.nslots = size
-        # key space per qf_init: range = nslots << bits_per_slot
-        self.range = np.uint64(size) * np.uint64(256)
+        # onDiskMQF analogue (third-party/MQF/onDiskMQF.h): with a
+        # spill directory, the sorted arrays live in disk-backed
+        # memmaps — queries page lazily, so the filter can exceed RAM
+        self.on_disk = on_disk
+        self._gen = 0
+        # key space per qf_init: range = nslots << key_remainder_bits.
+        # The classic CQF constructor uses key_bits = q+8 (remainder 8,
+        # storage.hh:428); the fork's MQF constructor passes the slot
+        # size explicitly (create_MQFGraph, khmer_args.py:548-598)
+        self.rem_bits = int(slot_size) if slot_size else 8
+        self.range = np.uint64(size) << np.uint64(self.rem_bits)
         # xnslots = nslots + 10*sqrt(nslots) (gqf.c:1372)
         self.xnslots = size + int(10 * math.sqrt(size))
-        self.slot_size = slot_size  # MQF fixed-counter width (fork N5)
+        self.slot_size = slot_size  # MQF remainder width (fork N5)
         self._keys = np.zeros(0, np.uint64)
         self._counts = np.zeros(0, np.uint64)
         self._pending = []
@@ -352,11 +361,34 @@ class QFStorage:
         self._pending_n = 0
         uk, us = self._reduce(keys, ws)
         if self._keys.shape[0] == 0:
-            self._keys, self._counts = uk, us
+            self._adopt(uk, us)
             return
         mk = np.concatenate([self._keys, uk])
         mw = np.concatenate([self._counts, us])
-        self._keys, self._counts = self._reduce(mk, mw)
+        self._adopt(*self._reduce(mk, mw))
+
+    def _adopt(self, keys, counts):
+        """Adopt merged sorted arrays; in on-disk mode they spill to
+        alternating-generation memmap files so the resident set stays
+        page-cache-managed (the stxxl/onDiskMQF role)."""
+        if self.on_disk is None:
+            self._keys, self._counts = keys, counts
+            return
+        import os
+
+        os.makedirs(self.on_disk, exist_ok=True)
+        self._gen ^= 1
+        n = keys.shape[0]
+        kp = os.path.join(self.on_disk, "qf_keys.%d.bin" % self._gen)
+        cp = os.path.join(self.on_disk, "qf_counts.%d.bin" % self._gen)
+        mk = np.memmap(kp, np.uint64, "w+", shape=(max(n, 1),))
+        mc = np.memmap(cp, np.uint64, "w+", shape=(max(n, 1),))
+        mk[:n] = keys
+        mc[:n] = counts
+        mk.flush()
+        mc.flush()
+        self._keys = np.memmap(kp, np.uint64, "r", shape=(n,))
+        self._counts = np.memmap(cp, np.uint64, "r", shape=(n,))
 
     def _lookup(self, keys):
         """Counts for already-reduced key values (exact)."""

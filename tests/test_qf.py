@@ -1,6 +1,7 @@
 """QFCounttable exactness tests (reference semantics: QFStorage over
 third-party/cqf/gqf.c — an exact multiset over khash % (nslots*256))."""
 
+import os
 import numpy as np
 import pytest
 
@@ -95,3 +96,151 @@ def test_buffered_qf_counttable():
     med, avg, dev = b.get_median_count(s)
     assert med == 1
     b.clearQueryBuffer()
+
+
+# ---------------------------------------------------------------------------
+# Cross-implementation raw-MQF interop (VERDICT round-2 #5): files
+# round-trip against the reference's OWN MQF library, compiled on
+# demand from /root/reference/third-party/MQF (tests/helpers/qfshim.cc).
+# ---------------------------------------------------------------------------
+
+MQF_SRC = "/root/reference/third-party/MQF"
+
+
+def _ref_mqf_lib():
+    import ctypes
+    import subprocess
+    import tempfile
+
+    if not os.path.isdir(MQF_SRC):
+        pytest.skip("reference MQF sources unavailable")
+    so = os.path.join(tempfile.gettempdir(), "libqfref_test.so")
+    if not os.path.exists(so):
+        shim = os.path.join(os.path.dirname(__file__), "helpers",
+                            "qfshim.cc")
+        cmd = ["g++", "-O2", "-std=c++11", "-shared", "-fPIC",
+               "-DNH=1", "-I" + MQF_SRC, shim,
+               os.path.join(MQF_SRC, "gqf.c"),
+               os.path.join(MQF_SRC, "utils.cpp"), "-o", so]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            pytest.skip("cannot compile reference MQF library")
+    lib = ctypes.CDLL(so)
+    lib.qfs_create.restype = ctypes.c_void_p
+    lib.qfs_create.argtypes = [ctypes.c_uint64] * 3
+    lib.qfs_insert.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                               ctypes.c_uint64]
+    lib.qfs_count.restype = ctypes.c_uint64
+    lib.qfs_count.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.qfs_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                             ctypes.c_ubyte]
+    lib.qfs_load.restype = ctypes.c_int
+    lib.qfs_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                             ctypes.POINTER(ctypes.c_ubyte)]
+    lib.qfs_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def test_load_reference_written_mqf_dump(tmpdir):
+    """A QF file written by the reference's MQF C library loads here
+    with identical counts."""
+    import ctypes
+
+    lib = _ref_mqf_lib()
+    h = lib.qfs_create(1 << 10, 10 + 9, 2)
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 1 << 40, 300, dtype=np.uint64))
+    cnts = rng.integers(1, 4000, len(keys), dtype=np.uint64)
+    agg = {}
+    for k, c in zip(keys, cnts):
+        lib.qfs_insert(h, int(k), int(c))
+        kk = int(k) % (1 << 19)
+        agg[kk] = agg.get(kk, 0) + int(c)
+    path = str(tmpdir.join("ref.qf"))
+    lib.qfs_save(h, path.encode(), 21)
+    lib.qfs_destroy(h)
+
+    table, ksize = khmer.QFCounttable.load(path), 21
+    assert table.ksize() == ksize
+    st = table.storage
+    got = dict(zip(*(a.tolist() for a in st.state_arrays())))
+    assert got == agg
+
+
+def test_reference_loads_our_mqf_dump(tmpdir):
+    """The reference's MQF C library loads a QF file this port wrote
+    and reads identical counts (including zero for absent keys)."""
+    import ctypes
+
+    lib = _ref_mqf_lib()
+    table = khmer.QFCounttable(17, 2 ** 10, 9)
+    rng = np.random.default_rng(13)
+    kmers = set()
+    seqs = ["".join("ACGT"[b] for b in rng.integers(0, 4, 17))
+            for _ in range(150)]
+    for s in seqs:
+        for _ in range(int(rng.integers(1, 400))):
+            table.count(s)
+    path = str(tmpdir.join("ours.qf"))
+    table.save(path)
+
+    h = lib.qfs_create(1 << 10, 10 + 9, 2)
+    ks = ctypes.c_ubyte()
+    assert lib.qfs_load(h, path.encode(), ctypes.byref(ks)) == 0
+    assert ks.value == 17
+    st = table.storage
+    keys, counts = st.state_arrays()
+    for k, c in zip(keys.tolist(), counts.tolist()):
+        assert lib.qfs_count(h, int(k)) == c
+    absent = [int(x) for x in rng.integers(0, int(st.range), 64,
+                                           dtype=np.uint64)
+              if int(x) not in set(keys.tolist())]
+    assert all(lib.qfs_count(h, a) == 0 for a in absent)
+    lib.qfs_destroy(h)
+
+
+def test_our_roundtrip_raw_dump_with_big_counts(tmpdir):
+    """Save/load through the raw dump preserves counter-escape
+    encodings (counts far beyond the fixed counter)."""
+    table = khmer.QFCounttable(17, 2 ** 9, 11)
+    kmer = "ATG" * 5 + "CA"
+    for _ in range(70000):
+        table.count(kmer)
+    path = str(tmpdir.join("big.qf"))
+    table.save(path)
+    loaded = khmer.QFCounttable.load(path)
+    # BoundedCounter u16 narrowing applies on get (reference parity)
+    assert loaded.get(kmer) == table.get(kmer)
+    lk, lc = loaded.storage.state_arrays()
+    ok, oc = table.storage.state_arrays()
+    assert np.array_equal(lk, ok) and np.array_equal(lc, oc)
+    assert int(lc[0]) == 70000
+
+
+def test_on_disk_qf_spills_and_counts(tmpdir):
+    """OnDiskQFCounttable (the onDiskMQF analogue) keeps its arrays in
+    disk-backed memmaps, counts exactly, and saves/loads the same raw
+    dump as the in-memory class."""
+    d = str(tmpdir.join("spill"))
+    table = khmer.OnDiskQFCounttable(17, 2 ** 10, 9, directory=d)
+    rng = np.random.default_rng(3)
+    seqs = ["".join("ACGT"[b] for b in rng.integers(0, 4, 17))
+            for _ in range(200)]
+    for s in seqs:
+        table.count(s)
+        table.count(s)
+    assert any(f.startswith("qf_keys") for f in os.listdir(d))
+    mem = khmer.QFCounttable(17, 2 ** 10, 9)
+    for s in seqs:
+        mem.count(s)
+        mem.count(s)
+    for s in seqs[:40]:
+        assert table.get(s) == mem.get(s)
+    path = str(tmpdir.join("spilled.qf"))
+    table.save(path)
+    loaded = khmer.QFCounttable.load(path)
+    a = loaded.storage.state_arrays()
+    b = mem.storage.state_arrays()
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
