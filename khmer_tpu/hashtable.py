@@ -581,7 +581,9 @@ class Hashtable:
         if n == 0:
             return []
         L = max(r.shape[0] for r in enc_rows)
-        L = max(-(-L // 64) * 64 + k, 64 + k)
+        # power-of-two row width: every distinct (rows, width) shape is
+        # a fresh XLA compile, so the bucket set must stay tiny
+        L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
         B = 1
         while B < n:
             B *= 2
@@ -607,7 +609,9 @@ class Hashtable:
         if n == 0:
             return []
         L = max(r.shape[0] for r in enc_rows)
-        L = max(-(-L // 64) * 64 + k, 64 + k)
+        # power-of-two row width: every distinct (rows, width) shape is
+        # a fresh XLA compile, so the bucket set must stay tiny
+        L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
         B = 1
         while B < n:
             B *= 2
@@ -931,7 +935,9 @@ class Hashtable:
         k = self._ksize
         enc_rows = [self._encode(s) for s in sequences]
         L = max(r.shape[0] for r in enc_rows)
-        L = max(-(-L // 64) * 64 + k, 64 + k)
+        # power-of-two row width: every distinct (rows, width) shape is
+        # a fresh XLA compile, so the bucket set must stay tiny
+        L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
         B = 1
         while B < n:
             B *= 2

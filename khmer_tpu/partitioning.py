@@ -76,8 +76,11 @@ class SubsetPartition:
         max_breadth = 2 * self.graph.tag_density + 1
 
         n = len(seeds)
-        keepers = [set() for _ in range(n)]
-        tagged = [set() for _ in range(n)]
+        # per-seed visited/tagged state as SORTED numpy arrays: each
+        # BFS level costs one numpy pass per live seed instead of an
+        # interpreted loop over every lane (VERDICT round-2 #6)
+        visited = [np.zeros(0, np.uint64) for _ in range(n)]
+        tagged = [np.zeros(0, np.uint64) for _ in range(n)]
         aborted = [False] * n
 
         # vectorized membership: sorted host arrays for the big sets
@@ -119,39 +122,56 @@ class SubsetPartition:
                 lo_c = 0 if min_count is None else min_count
                 hi_c = 0xFFFF if max_count is None else max_count
                 in_range = (counts >= lo_c) & (counts <= hi_c)
+            ok = ~is_stop
+            if in_range is not None:
+                ok &= in_range
+            order = np.argsort(sid, kind="stable")
+            bounds = np.searchsorted(sid[order],
+                                     np.arange(np.max(sid) + 2
+                                               if sid.size else 1))
             expand_rows = []
-            for i in range(canon.shape[0]):
-                s = int(sid[i])
+            for s in np.unique(sid):
+                s = int(s)
                 if aborted[s]:
                     continue
-                if stop_big_traversals and len(keepers[s]) > \
-                        BIG_TRAVERSALS_ARE:
+                if stop_big_traversals and \
+                        visited[s].size > BIG_TRAVERSALS_ARE:
                     aborted[s] = True
-                    tagged[s].clear()
+                    tagged[s] = np.zeros(0, np.uint64)
                     continue
-                c = int(canon[i])
-                if c in keepers[s]:
+                lanes = order[bounds[s]: bounds[s + 1]]
+                lanes = lanes[ok[lanes]]
+                if lanes.size == 0:
                     continue
-                if is_stop[i]:
+                uniq, first = np.unique(canon[lanes], return_index=True)
+                # stopped/out-of-range canons are NOT marked visited
+                # (reference order: dedup, stop, range, THEN insert)
+                if visited[s].size:
+                    pos = np.searchsorted(visited[s], uniq)
+                    pos[pos >= visited[s].size] = 0
+                    new_mask = visited[s][pos] != uniq
+                    uniq, first = uniq[new_mask], first[new_mask]
+                if uniq.size == 0:
                     continue
-                if in_range is not None and not in_range[i]:
-                    continue
-                keepers[s].add(c)
-                if is_tag[i]:
-                    tagged[s].add(c)
-                    continue
-                if breadth >= max_breadth:
-                    continue
-                expand_rows.append(i)
+                visited[s] = np.union1d(visited[s], uniq)
+                tag_mask = np.zeros(uniq.shape[0], bool)
+                if not first_level and tags_arr.size:
+                    pos = np.searchsorted(tags_arr, uniq)
+                    pos[pos >= tags_arr.size] = 0
+                    tag_mask = tags_arr[pos] == uniq
+                if tag_mask.any():
+                    tagged[s] = np.union1d(tagged[s], uniq[tag_mask])
+                if breadth < max_breadth:
+                    expand_rows.append(lanes[first[~tag_mask]])
             if not expand_rows:
                 break
-            idx = np.asarray(expand_rows)
+            idx = np.sort(np.concatenate(expand_rows))
             nf, nr, ncanon, src = _expand(self.graph, cf[idx], cr[idx], k)
             cf, cr = nf, nr
             sid = sid[idx][src]
             first_level = False
             breadth += 1
-        return [PrePartitionInfo(int(s), t)
+        return [PrePartitionInfo(int(s), set(int(x) for x in t))
                 for s, t in zip(seeds, tagged)]
 
     # -- partition id bookkeeping ----------------------------------------

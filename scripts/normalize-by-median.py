@@ -49,16 +49,18 @@ class Normalizer(object):
     """Digital normalization, batched without changing the sequential
     semantics:
 
-    * one device call median-screens the whole batch against the
-      pre-batch sketch.  Bundles already at coverage are dropped — exact,
-      because counts only grow.
-    * a below-coverage bundle whose k-mers do NOT overlap any read kept
-      earlier in the batch sees exactly the pre-batch counts in the
-      sequential algorithm too, so the stale verdict is exact and its
-      consume commutes; kept reads accumulate into one deferred batched
-      consume.
-    * only bundles that DO overlap an earlier kept read force the
-      deferred consumes to flush and fall back to a live query.
+    * ONE device call per batch hashes every read and fetches its
+      k-mers' pre-batch counts;
+    * the sequential decision replays entirely on the host: a bundle's
+      current count for hash h is pre_batch(h) + tally(h), where tally
+      counts every k-mer of the reads kept earlier in this batch —
+      exact, because sketch counts are additive (and saturating reads
+      compare identically against C, which never exceeds the cap);
+    * kept reads accumulate into ONE deferred batched consume per
+      batch.  No per-bundle device round trips at all — the round-1
+      overlap fallback cost one live query per overlapping bundle,
+      which on real (heavily overlapping) reads was nearly every
+      bundle.
     """
 
     def __init__(self, desired_coverage, countgraph, batch=BATCH):
@@ -68,18 +70,9 @@ class Normalizer(object):
         self.total = 0
         self.kept = 0
 
-    def _flush_consumes(self, pending_seqs):
-        if not pending_seqs:
-            return
+    def _drain(self, pending):
         import numpy as np
 
-        graph = self.countgraph
-        rows = graph._hash_rows(pending_seqs)
-        flat = np.concatenate(rows)
-        graph.storage.add_batch(flat)
-        pending_seqs.clear()
-
-    def _drain(self, pending):
         graph = self.countgraph
         C = self.desired_coverage
         seqs = []
@@ -87,34 +80,37 @@ class Normalizer(object):
         for bundle in pending:
             spans.append((len(seqs), len(seqs) + len(bundle.reads)))
             seqs.extend(r.cleaned_seq for r in bundle.reads)
-        import numpy as np
 
-        hash_rows = graph._hash_rows(seqs)
-        at_cov = np.array(graph.median_at_least_batch(seqs, C))
-
-        # `seen` = k-mers consumed during this batch.  The pre-batch
-        # screen stays exact for any bundle that does not overlap it;
-        # an overlapping bundle flushes the deferred consumes and gets
-        # ONE small live query of its own (`seen` persists — other
-        # bundles' stale verdicts are unaffected).
-        seen = set()
-        pending_seqs = []
+        pairs = graph._hash_count_rows(seqs)
+        tally = {}
+        kept_rows = []
         for i, bundle in enumerate(pending):
             lo, hi = spans[i]
-            if at_cov[lo:hi].all():
-                continue  # at coverage pre-batch: drop (exact, monotone)
-            rows = hash_rows[lo:hi]
-            if seen and any(int(h) in seen for row in rows for h in row):
-                self._flush_consumes(pending_seqs)
-                if bundle.coverages_at_least(graph, C):
-                    continue
-            # keep: some read below C at decision time
-            for record, row in zip(bundle.reads, rows):
-                pending_seqs.append(record.cleaned_seq)
-                seen.update(int(h) for h in row)
+            keep = False
+            for row, pre in pairs[lo:hi]:
+                n = row.size
+                if n == 0:
+                    # no k-mers: never "at coverage" (matches the
+                    # device median_at_least's `& (n > 0)`)
+                    keep = True
+                    break
+                hits = 0
+                for h, c in zip(row.tolist(), pre.tolist()):
+                    if c + tally.get(h, 0) >= C:
+                        hits += 1
+                if hits < (n + 1) // 2:  # median_at_least inverse
+                    keep = True
+                    break
+            if not keep:
+                continue
+            for record, (row, _) in zip(bundle.reads, pairs[lo:hi]):
+                for h in row.tolist():
+                    tally[h] = tally.get(h, 0) + 1
+                kept_rows.append(row)
                 self.kept += 1
                 yield record
-        self._flush_consumes(pending_seqs)
+        if kept_rows:
+            graph.storage.add_batch(np.concatenate(kept_rows))
 
     def __call__(self, reader):
         pending = []
