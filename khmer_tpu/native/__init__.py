@@ -18,6 +18,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fastx_loader.cc")
+_SRC_RA = os.path.join(_HERE, "read_aligner.cc")
 _SO = os.path.join(_HERE, "libkhmer_io.so")
 
 _lib = None
@@ -29,7 +30,7 @@ def _build():
     from khmer_tpu._version import __version__
 
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-           '-DKHMER_TPU_VERSION="%s"' % __version__,
+           _SRC_RA, '-DKHMER_TPU_VERSION="%s"' % __version__,
            "-lz", "-o", _SO + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
@@ -61,7 +62,8 @@ def get_lib():
             return _lib
         try:
             if not os.path.exists(_SO) or (
-                    os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                    os.path.getmtime(_SO) < max(os.path.getmtime(_SRC),
+                                                os.path.getmtime(_SRC_RA))):
                 _build()
             lib = ctypes.CDLL(_SO)
             lib.kio_open.restype = ctypes.c_void_p

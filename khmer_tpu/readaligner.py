@@ -246,6 +246,103 @@ class ReadAligner:
                                                nxt))
 
     def _subalign(self, start, seq_len, forward, seq):
+        native = self._native_subalign(start, seq_len, forward, seq)
+        if native is not None:
+            return native
+        return self._subalign_py(start, seq_len, forward, seq)
+
+    def _native_subalign(self, start, seq_len, forward, seq):
+        """Run the Subalign through the C++ core (native/read_aligner
+        .cc) against a host snapshot of the sketch; None when the
+        native runtime is unavailable."""
+        import ctypes
+
+        from khmer_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        if not hasattr(lib, "_ra_ready"):
+            lib.ra_subalign.restype = ctypes.c_long
+            lib._ra_ready = True
+        st = self.graph.storage
+        cached = getattr(self, "_native_ctx", None)
+        if cached is None or cached[0] is not st.table:
+            # refresh the host snapshot host_counts maintains and pin
+            # the argument arrays for this table version
+            st.host_counts(np.zeros(1, np.uint64))
+            self._native_ctx = (
+                st.table,
+                np.ascontiguousarray(st._host_table, np.uint32),
+                np.ascontiguousarray(st.spec.tablesizes, np.uint64),
+                np.ascontiguousarray(st.spec.bin_offsets, np.int64),
+                np.ascontiguousarray(self.tsc, np.float64))
+            cached = self._native_ctx
+        _, table, sizes, offs, tsc = cached
+        cap = 4 * (seq_len + 16)
+        o_state = np.empty(cap, np.int8)
+        o_base = np.empty(cap, np.int8)
+        o_idx = np.empty(cap, np.int32)
+        o_trust = np.empty(cap, np.uint8)
+        o_cov = np.empty(cap, np.uint32)
+        score = ctypes.c_double()
+        trunc = ctypes.c_int()
+        end_idx = ctypes.c_int32()
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        n = lib.ra_subalign(
+            p(table), p(sizes), p(offs), ctypes.c_int(len(sizes)),
+            ctypes.c_uint32(int(st._read_spec().read_cap)), p(tsc),
+            ctypes.c_double(self.trusted_match),
+            ctypes.c_double(self.trusted_mismatch),
+            ctypes.c_double(self.bits_theta),
+            ctypes.c_uint32(self.trusted_cutoff),
+            ctypes.c_int(self.k), seq.encode("ascii"),
+            ctypes.c_int(seq_len), ctypes.c_int(start.base),
+            ctypes.c_int(start.seq_idx), ctypes.c_double(start.score),
+            ctypes.c_uint64(start.fwd), ctypes.c_uint64(start.rc),
+            ctypes.c_int(1 if forward else 0), ctypes.c_long(cap),
+            p(o_state), p(o_base), p(o_idx), p(o_trust), p(o_cov),
+            ctypes.byref(score), ctypes.byref(trunc),
+            ctypes.byref(end_idx))
+        if n < 0:
+            return None  # path overflow: fall back to python
+        read_alignment = []
+        graph_alignment = []
+        trusted = []
+        covs = []
+        for i in range(n):
+            state = int(o_state[i])
+            if state in (MATCH, MATCH_UNTRUSTED):
+                graph_base = _NUCL[o_base[i]]
+                read_base = seq[o_idx[i]]
+            elif state in (INSERT_READ, INSERT_READ_UNTRUSTED):
+                graph_base = "-"
+                read_base = seq[o_idx[i]].lower()
+            else:
+                graph_base = _NUCL[o_base[i]].lower()
+                read_base = "-"
+            if forward:
+                graph_alignment.insert(0, graph_base)
+                read_alignment.insert(0, read_base)
+                trusted.insert(0, "T" if o_trust[i] else "F")
+                covs.insert(0, int(o_cov[i]))
+            else:
+                graph_alignment.append(graph_base)
+                read_alignment.append(read_base)
+                trusted.append("T" if o_trust[i] else "F")
+        graph_alignment = "".join(graph_alignment)
+        read_alignment = "".join(read_alignment)
+        truncated = bool(trunc.value)
+        if truncated:
+            if forward:
+                graph_alignment = graph_alignment + \
+                    seq[end_idx.value + 1:]
+            else:
+                graph_alignment = seq[: start.seq_idx] + graph_alignment
+        return Alignment(score.value, graph_alignment, read_alignment,
+                         "".join(trusted), covs, truncated)
+
+    def _subalign_py(self, start, seq_len, forward, seq):
         open_heap = []
         counter = [0]
         heapq.heappush(open_heap, (-start.f_score, 0, start))

@@ -1,6 +1,7 @@
 """ReadAligner tests — ported expectations from the reference
 tests/test_read_aligner.py (non-known_failing cases)."""
 
+import pytest
 import khmer_tpu as khmer
 from khmer_tpu import Countgraph, ReadAligner
 
@@ -100,3 +101,35 @@ def test_simple_readalign_substitution():
     assert not trunc
     assert graphAlign == truth
     assert readAlign == read
+
+
+def test_native_core_matches_python_search():
+    """The C++ A* core (native/read_aligner.cc) and the python search
+    produce IDENTICAL alignments on randomized erroneous reads."""
+    import numpy as np
+
+    from khmer_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(23)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 8000))
+    cg = khmer.Countgraph(21, 5e5, 3)
+    for i in range(0, len(genome) - 100, 40):
+        cg.consume(genome[i: i + 100])
+    al = ReadAligner(cg, 2, 1.0)
+    reads = []
+    for _ in range(25):
+        s = int(rng.integers(0, len(genome) - 120))
+        r = list(genome[s: s + 120])
+        for _ in range(6):
+            p = int(rng.integers(0, len(r)))
+            r[p] = "ACGT"[int(rng.integers(0, 4))]
+        if rng.integers(0, 2):
+            del r[int(rng.integers(5, len(r) - 5))]
+        reads.append("".join(r))
+    native = [al.align(r) for r in reads]
+    forward = [al.align_forward(r) for r in reads]
+    al._native_subalign = lambda *a, **k: None  # force python search
+    assert native == [al.align(r) for r in reads]
+    assert forward == [al.align_forward(r) for r in reads]
