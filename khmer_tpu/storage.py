@@ -155,18 +155,29 @@ class Storage:
     # -- update/query -----------------------------------------------------
 
     def add_batch(self, hashes, weights=None):
-        """Add a batch of k-mer hashes; returns per-lane was-new bools."""
-        hashes = jnp.asarray(hashes, dtype=U64)
+        """Add a batch of k-mer hashes; returns per-lane was-new bools.
+
+        Lanes are padded to a power-of-two bucket (zero weights) so
+        arbitrary batch sizes reuse a handful of compiled shapes —
+        every new XLA shape costs a fresh compile."""
+        hashes = np.asarray(hashes, np.uint64).reshape(-1)
+        n = hashes.shape[0]
         if weights is None:
-            weights = jnp.ones(hashes.shape, dtype=U32)
+            weights = np.ones(n, np.uint32)
         else:
-            weights = jnp.asarray(weights, dtype=U32)
+            weights = np.asarray(weights, np.uint32).reshape(-1)
+        bucket = max(1 << max(n - 1, 0).bit_length(), 64)
+        if bucket != n:
+            hashes = np.concatenate(
+                [hashes, np.zeros(bucket - n, np.uint64)])
+            weights = np.concatenate(
+                [weights, np.zeros(bucket - n, np.uint32)])
         self.table, _, self._n_unique, aux = sketch_update(
             self.spec, self.table, jnp.zeros((), U64), self._n_unique,
-            hashes.reshape(-1), weights.reshape(-1))
+            jnp.asarray(hashes), jnp.asarray(weights))
         self._loaded_occupied = None
-        self._track_bigcount_aux(aux, hashes=hashes)
-        return aux["premin"] == 0
+        self._track_bigcount_aux(aux, hashes=hashes[:n])
+        return (aux["premin"] == 0)[:n]
 
     def update_stats(self, table, n_occupied, n_unique, aux):
         """Adopt results of an externally-run fused update kernel."""

@@ -42,7 +42,7 @@ from khmer_tpu.utils import (ReadBundle, broken_paired_reader,
                              clean_input_reads, write_record)
 
 DEFAULT_DESIRED_COVERAGE = 20
-BATCH = 512
+BATCH = 2048
 
 
 class Normalizer(object):
@@ -82,31 +82,36 @@ class Normalizer(object):
             seqs.extend(r.cleaned_seq for r in bundle.reads)
 
         pairs = graph._hash_count_rows(seqs)
-        tally = {}
+        # additive tally over COMPACT in-batch ids: the sequential
+        # replay's per-read work is then a couple of small numpy ops
+        all_h = np.concatenate([r for r, _ in pairs]) if pairs else \
+            np.zeros(0, np.uint64)
+        uniq, inv = np.unique(all_h, return_inverse=True)
+        tally = np.zeros(uniq.shape[0], np.int64)
+        offs = np.cumsum([0] + [r.size for r, _ in pairs])
         kept_rows = []
         for i, bundle in enumerate(pending):
             lo, hi = spans[i]
             keep = False
-            for row, pre in pairs[lo:hi]:
+            for j in range(lo, hi):
+                row, pre = pairs[j]
                 n = row.size
                 if n == 0:
                     # no k-mers: never "at coverage" (matches the
                     # device median_at_least's `& (n > 0)`)
                     keep = True
                     break
-                hits = 0
-                for h, c in zip(row.tolist(), pre.tolist()):
-                    if c + tally.get(h, 0) >= C:
-                        hits += 1
+                ids = inv[offs[j]: offs[j + 1]]
+                hits = int(((pre.astype(np.int64) + tally[ids]) >= C)
+                           .sum())
                 if hits < (n + 1) // 2:  # median_at_least inverse
                     keep = True
                     break
             if not keep:
                 continue
-            for record, (row, _) in zip(bundle.reads, pairs[lo:hi]):
-                for h in row.tolist():
-                    tally[h] = tally.get(h, 0) + 1
-                kept_rows.append(row)
+            for record, j in zip(bundle.reads, range(lo, hi)):
+                np.add.at(tally, inv[offs[j]: offs[j + 1]], 1)
+                kept_rows.append(pairs[j][0])
                 self.kept += 1
                 yield record
         if kept_rows:

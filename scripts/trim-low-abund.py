@@ -166,6 +166,8 @@ class Trimmer(object):
         dn_cov = self.diginorm_coverage
         k = graph.ksize()
 
+        import numpy as np
+
         seqs = []
         spans = []
         for bundle in bundles:
@@ -173,28 +175,30 @@ class Trimmer(object):
             seqs.extend(r.cleaned_seq for r in bundle.reads)
         hc = graph._hash_count_rows(seqs)
 
-        # `seen` = k-mers consumed since the last flush; a bundle whose
-        # counts may be stale (overlap) flushes the deferred consumes
-        # and re-fetches the remaining tail's counts in one call, after
-        # which the scan continues with exact values
-        seen = set()
+        # `tally` = k-mers consumed earlier in this batch: a read's
+        # CURRENT count for hash h is pre_batch(h) + tally(h) — exact,
+        # because sketch counts are additive (and saturated reads
+        # compare identically against the small thresholds).  The
+        # whole batch settles host-side: no re-fetch round trips.
+        tally = {}
         pending_hashes = []
-        i = 0
-        while i < len(bundles):
-            bundle = bundles[i]
+        for i, bundle in enumerate(bundles):
             lo, hi = spans[i]
             rows = hc[lo:hi]
-            if seen and any(int(h) in seen
-                            for hashes, _ in rows for h in hashes):
-                self._flush(pending_hashes)
-                seen.clear()
-                hc[lo:] = graph._hash_count_rows(seqs[lo:])
-                continue
+            if tally:
+                adj = []
+                for hashes, counts in rows:
+                    cur = counts.copy()
+                    for j, h in enumerate(hashes.tolist()):
+                        t = tally.get(h)
+                        if t:
+                            cur[j] += t
+                    adj.append((hashes, cur))
+                rows = adj
 
             min_coverage = min(self._median(c) for _, c in rows)
 
             if self.do_normalize and min_coverage >= dn_cov:
-                i += 1
                 continue
 
             if min_coverage >= trim_at:
@@ -208,10 +212,10 @@ class Trimmer(object):
             else:
                 for read, (hashes, _) in zip(bundle.reads, rows):
                     pending_hashes.append(hashes)
-                    seen.update(int(h) for h in hashes)
+                    for h in hashes.tolist():
+                        tally[h] = tally.get(h, 0) + 1
                     write_record(read, saver)
                     self.n_saved += 1
-            i += 1
         self._flush(pending_hashes)
 
     def pass1(self, reader, saver):
