@@ -111,8 +111,8 @@ def main(quick=False):
           dt, STAMPS_READS)
 
     # 3. trim-low-abund + filter-abund
-    dt = run_script("trim-low-abund.py", "-k", "20", "-x", "1e8",
-                    "-M", "4e8", STAMPS_READS)
+    dt = run_script("trim-low-abund.py", "-k", "20", "-M", "4e8",
+                    STAMPS_READS)
     stage(results, "trim+filter", "trim-low-abund (stamps)", dt,
           STAMPS_READS)
     dt = run_script("filter-abund.py", "stamps-reads.ct",

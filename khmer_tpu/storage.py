@@ -207,6 +207,33 @@ class Storage:
         """Counts on device (no loaded-map overlay)."""
         return sketch_get(self._read_spec(), self.table, hashes)
 
+    def shard_table(self, mesh=None, axis="shard"):
+        """Distribute the flat bin array across a device mesh along
+        the BIN axis: per-device memory drops to ~1/S of the sketch,
+        and every existing kernel — gather reads, scatter updates,
+        deferred flushes, traversal's 8-way probes, partition BFS
+        membership — runs UNCHANGED under jit, with XLA inserting the
+        collectives (sharding propagation).  This is the
+        capacity-scaling layout for graphs larger than one device's
+        HBM; P7/P3 in SURVEY §2d.  The tail is zero-padded to a
+        multiple of the mesh size (reads never index past total_bins;
+        the scatter dummy lane stays in range)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis,))
+        S = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        n = int(self.table.shape[0])
+        pad = (-n) % S
+        table = self.table
+        if pad:
+            table = jnp.concatenate(
+                [table, jnp.zeros((pad,), table.dtype)])
+        spec = PartitionSpec(*mesh.axis_names)
+        self.table = jax.device_put(table, NamedSharding(mesh, spec))
+        return self.table.sharding
+
     def get(self, khash):
         return int(self.get_batch(jnp.asarray([khash], dtype=U64))[0])
 
