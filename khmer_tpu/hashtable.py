@@ -568,7 +568,7 @@ class Hashtable:
         data = np.zeros(w, np.uint8)
         data[:n] = codes
         fn = _make_hashes_fn(self._ksize, self.hash_kind)
-        hashes = np.asarray(fn(jnp.asarray(data)))
+        hashes = np.asarray(fn(jax.device_put(data)))
         return hashes[: n - self._ksize + 1]
 
     def _hash_rows(self, sequences):
@@ -593,7 +593,8 @@ class Hashtable:
             data[i, : r.shape[0]] = r
             lengths[i] = r.shape[0]
         fn = _make_row_hashes_fn(k, self.hash_kind)
-        hashes = np.asarray(fn(jnp.asarray(data), jnp.asarray(lengths)))
+        hashes = np.asarray(fn(jax.device_put(data),
+                               jax.device_put(lengths)))
         out = []
         for i, r in enumerate(enc_rows):
             w = r.shape[0] - k + 1
@@ -622,8 +623,8 @@ class Hashtable:
             lengths[i] = r.shape[0]
         fn = _make_row_hashes_counts_fn(self.storage._read_spec(), k,
                                         self.hash_kind)
-        hashes, counts = fn(self.storage.table, jnp.asarray(data),
-                            jnp.asarray(lengths))
+        hashes, counts = fn(self.storage.table, jax.device_put(data),
+                            jax.device_put(lengths))
         hashes = np.asarray(hashes)
         counts = np.asarray(counts)
         out = []
@@ -948,8 +949,8 @@ class Hashtable:
             lengths[i] = r.shape[0]
         fn = _make_median_at_least_fn(self.storage._read_spec(), k,
                                       self.hash_kind)
-        out = np.asarray(fn(self.storage.table, jnp.asarray(data),
-                            jnp.asarray(lengths),
+        out = np.asarray(fn(self.storage.table, jax.device_put(data),
+                            jax.device_put(lengths),
                             jnp.asarray(cutoff, U32)))
         return out[:n]
 
@@ -1165,7 +1166,8 @@ class QFCounttable(Hashtable):
         def run(data, weights):
             nonlocal n_consumed
             hashes, w = _chunk_hashes_weights(
-                jnp.asarray(data), jnp.asarray(weights, U32),
+                jax.device_put(data),
+                jax.device_put(weights.astype(np.uint32)),
                 self._ksize, self.hash_kind, ROW_PAYLOAD)
             hashes = np.asarray(hashes)
             w = np.asarray(w)

@@ -240,28 +240,31 @@ def pack_oxli_bytes(spec: SketchSpec, table):
 
 
 def unpack_oxli_bytes(spec: SketchSpec, data):
-    """OXLI byte stream (host numpy) -> working uint32 table."""
-    table = np.zeros(spec.total_bins + 1, np.uint32)
+    """OXLI byte stream (host numpy) -> working uint32 table.
+
+    The RAW bytes are uploaded (one device_put, 4x less wire than the
+    widened u32 table — loading a -x 1e8 countgraph moves 400MB
+    instead of 1.6GB) and widened/unpacked on device."""
+    d = jax.device_put(np.ascontiguousarray(data, np.uint8))
+    parts = []
     boff = 0
     for t in range(spec.n_tables):
         size = int(spec.tablesizes[t])
-        off = spec.bin_offsets[t]
         nb = spec.bytes_per_table[t]
-        raw = np.asarray(data[boff: boff + nb], np.uint8)
+        raw = d[boff: boff + nb]
         if spec.kind == "byte":
-            table[off: off + size] = raw
+            parts.append(raw[:size].astype(jnp.uint32))
         elif spec.kind == "nibble":
-            hi = (raw >> 4).astype(np.uint32)
-            lo = (raw & 0xF).astype(np.uint32)
-            inter = np.empty(nb * 2, np.uint32)
-            inter[0::2] = hi
-            inter[1::2] = lo
-            table[off: off + size] = inter[:size]
+            inter = jnp.stack([raw >> 4, raw & 0xF],
+                              axis=1).reshape(-1)
+            parts.append(inter[:size].astype(jnp.uint32))
         else:  # bit
-            bits = np.unpackbits(raw, bitorder="little")
-            table[off: off + size] = bits[:size]
+            shifts = jnp.arange(8, dtype=jnp.uint8)
+            bits = ((raw[:, None] >> shifts[None, :]) & 1).reshape(-1)
+            parts.append(bits[:size].astype(jnp.uint32))
         boff += nb
-    return jnp.asarray(table)
+    parts.append(jnp.zeros(1, jnp.uint32))
+    return jnp.concatenate(parts)
 
 
 # backwards-compatible aliases (all kinds share the implementation)

@@ -21,6 +21,7 @@ does (storage.hh:631-653).
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from khmer_tpu._config import MAX_BIGCOUNT, MAX_KCOUNT
@@ -174,7 +175,7 @@ class Storage:
                 [weights, np.zeros(bucket - n, np.uint32)])
         self.table, _, self._n_unique, aux = sketch_update(
             self.spec, self.table, jnp.zeros((), U64), self._n_unique,
-            jnp.asarray(hashes), jnp.asarray(weights))
+            jax.device_put(hashes), jax.device_put(weights))
         self._loaded_occupied = None
         self._track_bigcount_aux(aux, hashes=hashes[:n])
         return (aux["premin"] == 0)[:n]
