@@ -53,14 +53,44 @@ def main():
         args.output_file = sys.stdout
     writer = csv.writer(args.output_file)
 
+    import numpy as np
+
+    BATCH = 4096
     for filename in args.input_sequence_filenames:
-        for record in FastxReader(filename):
-            seq = record.sequence.replace('N', 'A')
-            hashes, counts = countgraph._hash_count_rows([seq])[0]
-            for i, (h, c) in enumerate(zip(hashes, counts)):
-                if not tracking.get(int(h)):
-                    tracking.add(int(h))
-                    writer.writerow([seq[i:i + kmer_size], str(int(c))])
+        batch = []
+        reader = FastxReader(filename)
+
+        def flush(batch):
+            seqs = [r.sequence.replace('N', 'A') for r in batch]
+            pairs = countgraph._hash_count_rows(seqs)
+            flat = np.concatenate([h for h, _ in pairs]) if pairs \
+                else np.zeros(0, np.uint64)
+            if flat.size == 0:
+                return
+            # batched tracking: ONE membership query + ONE add per
+            # batch; duplicates resolve to their first stream position
+            # on the host (sequential first-print semantics)
+            seen = np.asarray(tracking.storage.get_batch(flat)) > 0
+            _, first = np.unique(flat, return_index=True)
+            new = np.zeros(flat.shape[0], bool)
+            new[np.sort(first)] = True
+            new &= ~seen
+            if new.any():
+                tracking.storage.add_batch(flat[new])
+            off = 0
+            for seq, (h, c) in zip(seqs, pairs):
+                for i in np.flatnonzero(new[off: off + h.size]):
+                    writer.writerow(
+                        [seq[i:i + kmer_size], str(int(c[i]))])
+                off += h.size
+
+        for record in reader:
+            batch.append(record)
+            if len(batch) >= BATCH:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
 
     print('Total number of unique k-mers: {0}'.format(
         countgraph.n_unique_kmers()), file=sys.stderr)
