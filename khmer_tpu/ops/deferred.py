@@ -169,6 +169,20 @@ def _merge_bucket(n, cap):
     return min(max(_next_pow2(n), MIN_BUCKET), cap)
 
 
+_FETCH_POOL = None
+
+
+def _fetch_async(arr):
+    """Fetch a device scalar on a background thread (a blocking fetch
+    costs ~30 ms of round trip on a tunneled device)."""
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FETCH_POOL = ThreadPoolExecutor(max_workers=1)
+    return _FETCH_POOL.submit(lambda a: int(np.asarray(a)), arr)
+
+
 class DeferredCounter:
     """Device-side deferred counting buffer for one bulk-consume call.
 
@@ -211,6 +225,8 @@ class DeferredCounter:
         self._flush_fn = make_flush_slice_fn(self.spec)
         self._track_bigcount = (self.spec.use_bigcount
                                 and self.spec.kind == "byte")
+        self._pending_cycle = None  # (mk, mw, F, distinct-count future)
+        self._bc_pending = []       # deferred bigcount candidate fetches
 
     def append(self, keys, weights):
         """Append one chunk of hashed lanes."""
@@ -265,15 +281,19 @@ class DeferredCounter:
 
     def _cycle(self):
         """Combine duplicates (one sort), flush distinct lanes into the
-        sketch table, reset the buffer.  The only blocking host fetch
-        in the consume path happens here (the distinct count)."""
+        sketch table, reset the buffer — all ASYNC: the first flush
+        window is dispatched speculatively (it covers the distinct
+        lanes of any real cycle); the distinct count resolves on a
+        background thread and any extra windows flush at the NEXT
+        cycle boundary, so the streaming path never blocks on the
+        device."""
         if self.fill == 0:
             return
         import os
         import time
         t0 = time.perf_counter() if os.environ.get("KHMER_TPU_TIMING") \
             else None
-        st = self.storage
+        self._resolve_cycle()
         bucket = _merge_bucket(self.fill, self.cap)
         if bucket >= self.cap:
             mk, mw, n_valid = merge_buffer(self.keys, self.wgts)
@@ -282,32 +302,51 @@ class DeferredCounter:
                 self.keys[:bucket], self.wgts[:bucket])
         self.keys = None  # donated away; reallocated below
         self.wgts = None
-        n = int(n_valid)
         # bucketed flush windows: tiny consumes stay tiny, bulk ones
         # tile in FLUSH_SLICE windows (power-of-two sizes throughout)
-        F = min(max(_next_pow2(n), MIN_BUCKET), FLUSH_SLICE, bucket)
-        table, uniq = st.table, st._n_unique
-        for off in range(0, max(n, 1), F):
-            out = self._flush_fn(table, uniq, mk[off: off + F],
-                                 mw[off: off + F])
-            if self._track_bigcount:
-                table, uniq, cand, n_cross = out
-                nc = int(n_cross)
-                if nc:
-                    hs = np.asarray(cand[:nc])
-                    st.bigcount_candidates.update(int(x) for x in hs)
-            else:
-                table, uniq = out[0], out[1]
-        st.table, st._n_unique = table, uniq
-        st._loaded_occupied = None
+        F = min(max(_next_pow2(self.fill), MIN_BUCKET), FLUSH_SLICE,
+                bucket)
+        self._flush_window(mk, mw, 0, F)
+        self._pending_cycle = (mk, mw, F, _fetch_async(n_valid))
         self._alloc(self.cap)
         self.fill = 0
         if t0 is not None:
-            print(f"[deferred] cycle bucket={bucket} distinct={n} "
+            print(f"[deferred] cycle bucket={bucket} dispatched "
                   f"{time.perf_counter()-t0:.3f}s", flush=True)
+
+    def _flush_window(self, mk, mw, off, F):
+        st = self.storage
+        out = self._flush_fn(st.table, st._n_unique, mk[off: off + F],
+                             mw[off: off + F])
+        st.table, st._n_unique = out[0], out[1]
+        st._loaded_occupied = None
+        if self._track_bigcount:
+            # candidate fetches are deferred to finish(): two blocking
+            # round trips per window otherwise
+            self._bc_pending.append((out[2], out[3]))
+
+    def _resolve_cycle(self):
+        """Flush any extra windows of the previous cycle (distinct
+        count beyond the speculative first window — only happens when
+        a cycle's distinct lanes exceed FLUSH_SLICE)."""
+        if self._pending_cycle is None:
+            return
+        mk, mw, F, fut = self._pending_cycle
+        self._pending_cycle = None
+        n = fut.result()
+        for off in range(F, n, F):
+            self._flush_window(mk, mw, off, F)
 
     def finish(self):
         """Flush any buffered lanes into the storage table."""
         if self.keys is None:
             return
         self._cycle()
+        self._resolve_cycle()
+        st = self.storage
+        for cand, n_cross in self._bc_pending:
+            nc = int(n_cross)
+            if nc:
+                hs = np.asarray(cand[:nc])
+                st.bigcount_candidates.update(int(x) for x in hs)
+        self._bc_pending = []
