@@ -116,13 +116,13 @@ def get_parser():
 class Trimmer(object):
     """Core two-pass streaming trimmer (reference trim-low-abund.py:
     170-283), batched without changing the sequential semantics: each
-    batch resolves every read's k-mer hashes+counts in one device call;
-    a bundle whose k-mers overlap an earlier consumed-in-batch read
-    flushes the deferred consumes and re-fetches the tail's counts
-    (counts only grow, so >=threshold branch decisions taken from the
-    stale screen remain exact)."""
+    batch resolves every read's k-mer hashes+counts in one device
+    call, and the sequential decisions replay on the host with an
+    additive tally of batch-consumed k-mers over compact in-batch ids
+    — exact because sketch counts are additive (saturated reads
+    compare identically against the small thresholds)."""
 
-    BATCH = 256
+    BATCH = 2048
 
     def __init__(self, graph, do_trim_low_abund, cutoff, trim_at_coverage):
         self.graph = graph
@@ -175,26 +175,23 @@ class Trimmer(object):
             seqs.extend(r.cleaned_seq for r in bundle.reads)
         hc = graph._hash_count_rows(seqs)
 
-        # `tally` = k-mers consumed earlier in this batch: a read's
-        # CURRENT count for hash h is pre_batch(h) + tally(h) — exact,
-        # because sketch counts are additive (and saturated reads
-        # compare identically against the small thresholds).  The
-        # whole batch settles host-side: no re-fetch round trips.
-        tally = {}
+        # `tally` = k-mers consumed earlier in this batch, tracked over
+        # COMPACT in-batch ids: a read's CURRENT count for hash h is
+        # pre_batch(h) + tally(h) — exact, because sketch counts are
+        # additive (and saturated reads compare identically against
+        # the small thresholds).  Whole batch settles host-side.
+        all_h = np.concatenate([r for r, _ in hc]) if hc else \
+            np.zeros(0, np.uint64)
+        uniq, inv = np.unique(all_h, return_inverse=True)
+        tally = np.zeros(uniq.shape[0], np.int64)
+        offs = np.cumsum([0] + [r.size for r, _ in hc])
         pending_hashes = []
         for i, bundle in enumerate(bundles):
             lo, hi = spans[i]
-            rows = hc[lo:hi]
-            if tally:
-                adj = []
-                for hashes, counts in rows:
-                    cur = counts.copy()
-                    for j, h in enumerate(hashes.tolist()):
-                        t = tally.get(h)
-                        if t:
-                            cur[j] += t
-                    adj.append((hashes, cur))
-                rows = adj
+            rows = [(hc[j][0],
+                     (hc[j][1].astype(np.int64)
+                      + tally[inv[offs[j]: offs[j + 1]]]))
+                    for j in range(lo, hi)]
 
             min_coverage = min(self._median(c) for _, c in rows)
 
@@ -210,10 +207,9 @@ class Trimmer(object):
                     if record:
                         yield record
             else:
-                for read, (hashes, _) in zip(bundle.reads, rows):
-                    pending_hashes.append(hashes)
-                    for h in hashes.tolist():
-                        tally[h] = tally.get(h, 0) + 1
+                for read, j in zip(bundle.reads, range(lo, hi)):
+                    pending_hashes.append(hc[j][0])
+                    np.add.at(tally, inv[offs[j]: offs[j + 1]], 1)
                     write_record(read, saver)
                     self.n_saved += 1
         self._flush(pending_hashes)
