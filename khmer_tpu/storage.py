@@ -264,7 +264,18 @@ class Storage:
     # -- host access ------------------------------------------------------
 
     def raw_bytes(self):
-        """All table bytes in OXLI on-disk layout, host numpy."""
+        """All table bytes in OXLI on-disk layout, host numpy.
+
+        Sparse tables (the common case — occupancy is kept well below
+        the FP kill switches) fetch only the occupied (bin, value)
+        pairs and assemble the stream host-side: a few MB over the
+        wire instead of the full table."""
+        from khmer_tpu.ops.sketch_ops import sparse_raw_bytes
+
+        nz = int(jnp.sum(self.table != 0))
+        if nz * 12 * 2 < self.spec.total_bytes \
+                and self.spec.total_bins < 0xFFFFFFFF:
+            return sparse_raw_bytes(self.spec, self.table, nz)
         return np.asarray(pack_oxli_bytes(self.spec, self.table))
 
     def set_raw_bytes(self, data, n_occupied=0):
