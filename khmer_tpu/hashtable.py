@@ -186,6 +186,27 @@ def _consume_chunk_size():
     return 1 << 23
 
 
+@lru_cache(maxsize=None)
+def _fit_chunk(k, hash_kind, base):
+    """Largest chunk <= base whose lanes tile the deferred counter's
+    power-of-two cycle in exactly 4 appends: the cycle sort then
+    covers the fill with ~zero overshoot (a chunk that overflows the
+    cycle by even one lane doubles the sort bucket)."""
+    import os
+
+    from khmer_tpu.ops.deferred import DeferredCounter, default_max_cap
+
+    if os.environ.get("KHMER_TPU_CHUNK"):
+        return base  # explicit override wins
+    cap = min(2 * DeferredCounter.MERGE_EVERY, default_max_cap())
+    cap = 1 << max(cap - 1, 1).bit_length()
+    chunk = base
+    while chunk > ROW_PAYLOAD and \
+            _chunk_lane_count(k, hash_kind, chunk) * 4 > cap:
+        chunk -= ROW_PAYLOAD
+    return chunk
+
+
 def _producer_stream(produce, depth=6):
     """Run `produce` (a generator) on a background thread with a
     bounded queue: parsing + packing + h2d enqueue overlap the device
@@ -693,7 +714,8 @@ class Hashtable:
         from khmer_tpu.ops.deferred import DeferredCounter
 
         st = self.storage
-        chunk = _consume_chunk_size()
+        chunk = _fit_chunk(self._ksize, self.hash_kind,
+                           _consume_chunk_size())
         counter = DeferredCounter(
             st, _chunk_lane_count(self._ksize, self.hash_kind, chunk))
         batcher = _FlatBatcher(self._ksize, chunk)
@@ -835,7 +857,8 @@ class Hashtable:
         st = self.storage
         fn = _make_append_fn(self._ksize, self.hash_kind, None, False,
                              from_codes=True, packed=True)
-        chunk = _consume_chunk_size()
+        chunk = _fit_chunk(self._ksize, self.hash_kind,
+                           _consume_chunk_size())
         reader = NativeChunkReader(filename, self._ksize, chunk)
         counter = DeferredCounter(
             st, _chunk_lane_count(self._ksize, self.hash_kind, chunk))
