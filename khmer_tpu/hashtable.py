@@ -335,17 +335,81 @@ def _make_hashes_fn(k, hash_kind):
 
 
 @lru_cache(maxsize=None)
-def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind, want_lanes):
+@lru_cache(maxsize=None)
+def _make_abund_flush_fn(main_spec, tracking_spec):
+    """Abundance-dist flush over DISTINCT lanes (deferred-cycle
+    variant of _make_abund_dist_fn): gathers against the main and
+    tracking sketches touch one lane per distinct hash of the cycle
+    instead of one per occurrence — the same ~C-fold cut the deferred
+    consume gets.  Cross-cycle dedup rides the tracking filter's
+    membership, exactly the reference's Bloom-tracked semantics
+    (hashtable.cc:460-501)."""
+    from functools import partial as _partial
+
+    from khmer_tpu._config import MAX_BIGCOUNT
+    from khmer_tpu.ops.deferred import SENTINEL
+
+    @_partial(jax.jit, donate_argnums=(0, 4))
+    def fn(t_table, t_uniq, keys, main_table, dist):
+        valid = keys != SENTINEL
+        member = sketch_get(tracking_spec, t_table, keys)
+        new = valid & (member == 0)
+        counts = sketch_get(main_spec, main_table, keys).astype(U32)
+        lane_counts = jnp.where(new, counts, 0)
+        dist = dist.at[lane_counts].add(new.astype(U64))
+        t_table, _, t_uniq, _ = sketch_update(
+            tracking_spec, t_table, jnp.zeros((), U64), t_uniq, keys,
+            new.astype(U32))
+        return t_table, t_uniq, dist
+
+    return fn
+
+
+def _make_abund_counter(tracking_storage, chunk_lanes, main_spec,
+                        main_table):
+    """DeferredCounter whose cycle flush does abundance-dist
+    accounting (per-distinct gathers + histogram) instead of
+    counting; `dist` accumulates on device."""
+    from khmer_tpu._config import MAX_BIGCOUNT
+    from khmer_tpu.ops.deferred import DeferredCounter
+
+    class _AbundCounter(DeferredCounter):
+        def __init__(self):
+            super().__init__(tracking_storage, chunk_lanes)
+            self.dist = jnp.zeros(MAX_BIGCOUNT + 1, jnp.uint64)
+            self._abund_fn = _make_abund_flush_fn(
+                main_spec, tracking_storage._read_spec())
+
+        def _flush_window(self, mk, mw, off, F):
+            st = self.storage
+            st.table, st._n_unique, self.dist = self._abund_fn(
+                st.table, st._n_unique, mk[off: off + F], main_table,
+                self.dist)
+            st._loaded_occupied = None
+
+    return _AbundCounter()
+
+
+@lru_cache(maxsize=None)
+def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind, want_lanes,
+                        packed=False, from_codes=False):
     """One chunk of abundance_distribution (hashtable.cc:460-501):
     k-mers not yet in the tracking filter contribute their count once.
 
     Returns a dense histogram over [0, read_cap]; with want_lanes the
     per-distinct (count, hash) lanes also come back for host-side
     bigcount-overlay correction (only needed for graphs loaded from
-    files carrying a bigcount map)."""
+    files carrying a bigcount map).  Cached: a fresh jit per call
+    would recompile per invocation."""
     from khmer_tpu._config import MAX_BIGCOUNT
 
-    def fn(table, t_table, t_uniq, data, weights):
+    def fn(table, t_table, t_uniq, data, *rest):
+        if packed:
+            data, weights = _unpack_chunk(data)
+        else:
+            weights = rest[0]
+        if from_codes and hash_kind != "2bit":
+            data = _decode_codes(data)
         hashes, w = _chunk_hashes_weights(
             data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
         # pre-update tracking membership
@@ -1041,19 +1105,26 @@ class Hashtable:
         # host-side overlay is only needed when a bigcount map was
         # loaded from disk (live counts are exact in the uint32 table)
         want_lanes = bool(st.get_use_bigcount() and st.bigcounts)
-        fn = _make_abund_dist_fn(st._read_spec(), ts._read_spec(),
-                                 self._ksize, self.hash_kind, want_lanes)
-        dist = jnp.zeros(MAX_BIGCOUNT + 1, jnp.uint64)
-        fix = np.zeros(MAX_BIGCOUNT + 1, np.int64)
-        batcher = _FlatBatcher(self._ksize)
-        t_table, t_uniq = ts.table, ts._n_unique
+        native = isinstance(parser_or_filename, str) and \
+            self._can_use_native(parser_or_filename)
+        chunk = CHUNK if want_lanes else _fit_chunk(
+            self._ksize, self.hash_kind, _consume_chunk_size())
 
-        def run(data, weights):
-            nonlocal t_table, t_uniq, dist
-            out = fn(st.table, t_table, t_uniq, jax.device_put(data),
-                     jax.device_put(weights))
-            if want_lanes:
-                t_table, t_uniq, d, counts, first, ks = out
+        fix = np.zeros(MAX_BIGCOUNT + 1, np.int64)
+        if want_lanes:
+            # rare path (a bigcount map loaded from disk overlays
+            # capped reads): per-occurrence kernel that also returns
+            # the per-lane arrays for host-side correction
+            fn = _make_abund_dist_fn(
+                st._read_spec(), ts._read_spec(), self._ksize,
+                self.hash_kind, True, packed=True, from_codes=True)
+            dist = jnp.zeros(MAX_BIGCOUNT + 1, jnp.uint64)
+            t_table, t_uniq = ts.table, ts._n_unique
+
+            def run(buf):
+                nonlocal t_table, t_uniq, dist
+                t_table, t_uniq, d, counts, first, ks = fn(
+                    st.table, t_table, t_uniq, buf)
                 counts = np.asarray(counts)
                 first = np.asarray(first)
                 over = self.storage._overlay_bigcounts(
@@ -1063,21 +1134,63 @@ class Hashtable:
                         fix[c0] -= 1
                         fix[c1] += 1
                 dist = dist + d
-            else:
-                t_table, t_uniq, d = out
-                dist = dist + d
+        else:
+            # common path: deferred cycles dedup each ~32M-lane window
+            # with one sort, then the expensive sketch gathers and the
+            # tracking update touch one lane per DISTINCT hash
+            counter = _make_abund_counter(
+                ts, _chunk_lane_count(self._ksize, self.hash_kind,
+                                      chunk),
+                st._read_spec(), st.table)
+            append = _make_append_fn(self._ksize, self.hash_kind, None,
+                                     False, from_codes=True, packed=True)
+            consumed = jnp.zeros((), U64)
 
-        for read in self._reads(parser_or_filename):
-            seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
-                else str(read)
-            codes = self._encode(seq)
-            for data, weights in batcher.add(codes):
-                run(data, weights)
-        tail = batcher.drain()
-        if tail is not None:
-            run(*tail)
-        ts.table, ts._n_unique = t_table, t_uniq
-        ts._loaded_occupied = None
+            def run(buf, lanes=None):
+                nonlocal consumed
+                consumed = counter.append_chunk(append, consumed,
+                                                (buf,), lanes=lanes)
+
+        if native:
+            from khmer_tpu.native import NativeChunkReader
+
+            reader = NativeChunkReader(parser_or_filename, self._ksize,
+                                       chunk)
+
+            def produce():
+                for data, weights in reader:
+                    yield jax.device_put(_pack_chunk(data, weights))
+
+            for buf in _producer_stream(produce):
+                run(buf)
+            reader.close()
+        else:
+            batcher = _FlatBatcher(self._ksize, chunk)
+            from_ascii = self.hash_kind != "2bit"
+
+            def push(data, weights):
+                kwargs = {} if want_lanes else {
+                    "lanes": _chunk_lane_count(
+                        self._ksize, self.hash_kind, data.shape[0])}
+                run(jax.device_put(
+                    _pack_chunk(data, weights, from_ascii=from_ascii)),
+                    **kwargs)
+
+            for read in self._reads(parser_or_filename):
+                seq = read.cleaned_seq if hasattr(read, "cleaned_seq") \
+                    else str(read)
+                codes = self._encode(seq)
+                for data, weights in batcher.add(codes):
+                    push(data, weights)
+            tail = batcher.drain()
+            if tail is not None:
+                push(*tail)
+        if want_lanes:
+            ts.table, ts._n_unique = t_table, t_uniq
+            ts._loaded_occupied = None
+        else:
+            counter.finish()
+            dist = counter.dist
         out = np.asarray(dist).astype(np.int64) + fix
         return [int(x) for x in out]
 
