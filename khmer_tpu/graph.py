@@ -152,7 +152,7 @@ class Hashgraph(Hashtable):
         n_reads = 0
         n_consumed = 0
         pending = []
-        B = 256
+        B = 2048
         for read in self._reads(parser_or_filename):
             seq = read.cleaned_seq
             n_reads += 1
