@@ -432,16 +432,29 @@ class ReadAligner:
             node.score = k * self.untrusted_match + k * self.tsc[MM]
         return node
 
+    def align_many(self, sequences):
+        """Batched align(): ONE device call hashes every read; seed
+        coverage uses the host count snapshot and the A* searches run
+        per read in the native core — no per-read device traffic.
+        Returns a list of align() result tuples."""
+        rows = self.graph._hash_rows(sequences)
+        return [self._align_hashed(seq, row)
+                for seq, row in zip(sequences, rows)]
+
     def align(self, sequence):
         """Bidirectional alignment from the max-coverage seed k-mer
         (read_aligner.cc Align); returns (score, graph_aln, read_aln,
         truncated) like readaligner.pyx:84-96."""
+        if len(sequence) - self.k + 1 <= 0:
+            raise ValueError("sequence shorter than k")
+        return self._align_hashed(sequence,
+                                  self.graph._hash_array(sequence))
+
+    def _align_hashed(self, sequence, hashes):
         k = self.k
         read = sequence
-        num_kmers = len(read) - k + 1
-        if num_kmers <= 0:
+        if len(read) - k + 1 <= 0:
             raise ValueError("sequence shorter than k")
-        hashes = self.graph._hash_array(read)
         covs = self.graph.storage.host_counts(hashes)
         best_idx = int(np.argmax(covs)) if covs.size else 0
         # reference keeps the FIRST maximal (strictly greater updates)

@@ -178,7 +178,23 @@ class Storage:
             jax.device_put(hashes), jax.device_put(weights))
         self._loaded_occupied = None
         self._track_bigcount_aux(aux, hashes=hashes[:n])
+        self._mirror_host_add(hashes[:n], weights[:n])
         return (aux["premin"] == 0)[:n]
+
+    def _mirror_host_add(self, hashes, weights):
+        """Keep the host count snapshot (host_counts) coherent across
+        add_batch WITHOUT re-fetching the table: apply the identical
+        u32 bin adds to the numpy mirror and re-pin its version.
+        No-op when no snapshot exists."""
+        if getattr(self, "_host_table", None) is None:
+            return
+        sizes = np.asarray(self.spec.tablesizes, np.uint64)
+        offs = np.asarray(self.spec.bin_offsets, np.int64)
+        idx = (hashes[None, :] % sizes[:, None]).astype(np.int64) \
+            + offs[:, None]
+        np.add.at(self._host_table, idx.reshape(-1),
+                  np.tile(weights.astype(np.uint32), len(sizes)))
+        self._host_version = self.table
 
     def update_stats(self, table, n_occupied, n_unique, aux):
         """Adopt results of an externally-run fused update kernel."""

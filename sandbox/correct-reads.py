@@ -20,6 +20,8 @@ import sys
 import tempfile
 import textwrap
 
+import numpy as np
+
 import khmer_tpu as khmer
 from khmer_tpu import Countgraph, khmer_args
 from khmer_tpu.io.fastx import FastxReader
@@ -35,9 +37,13 @@ DEFAULT_NORMALIZE_LIMIT = 20
 DEFAULT_CUTOFF = 2
 
 
-def correct_sequence(aligner, sequence):
-    score, graph_alignment, read_alignment, truncated = \
-        aligner.align(sequence)
+def correct_sequence(aligner, sequence, hashes=None):
+    if hashes is not None:
+        score, graph_alignment, read_alignment, truncated = \
+            aligner._align_hashed(sequence, hashes)
+    else:
+        score, graph_alignment, read_alignment, truncated = \
+            aligner.align(sequence)
     if not truncated:
         return True, graph_alignment.replace("-", "")
     return False, sequence
@@ -137,10 +143,10 @@ def main():
     written_bp = 0
     corrected_reads = 0
 
-    def correct_and_write(read, corrfp):
+    def correct_and_write(read, corrfp, hashes=None):
         nonlocal corrected_reads, written_reads, written_bp
         seq = read.sequence.replace('N', 'A')
-        is_aligned, new_seq = correct_sequence(aligner, seq)
+        is_aligned, new_seq = correct_sequence(aligner, seq, hashes)
         if is_aligned:
             if new_seq != read.sequence:
                 corrected_reads += 1
@@ -169,29 +175,67 @@ def main():
         paired_iter = broken_paired_reader(
             FastxReader(filename), min_length=K,
             force_single=args.ignore_pairs)
+
+        # batched pass 1: ONE device call hashes + pre-counts every
+        # read of a batch; the sequential keep-aside decision replays
+        # host-side with an additive tally of batch-consumed k-mers
+        # (exact, as in normalize-by-median); corrections run through
+        # the native aligner against the host count snapshot, which
+        # add_batch keeps coherent without re-fetching the table.
+        def process_batch(bundles):
+            nonlocal save_pass2, n_reads, n_bp
+            seqs = []
+            spans = []
+            for is_pair, r1, r2 in bundles:
+                reads = [r1, r2] if is_pair else [r1]
+                spans.append((len(seqs), len(seqs) + len(reads)))
+                seqs.extend(r.sequence.replace('N', 'A')
+                            for r in reads)
+                n_reads += len(reads)
+                n_bp += sum(len(r.sequence) for r in reads)
+            pairs = ct._hash_count_rows(seqs)
+            all_h = np.concatenate([r for r, _ in pairs]) if pairs \
+                else np.zeros(0, np.uint64)
+            uniq, inv = np.unique(all_h, return_inverse=True)
+            tally = np.zeros(uniq.shape[0], np.int64)
+            offs = np.cumsum([0] + [r.size for r, _ in pairs])
+            pending = []
+            for (is_pair, r1, r2), (lo, hi) in zip(bundles, spans):
+                reads = [r1, r2] if is_pair else [r1]
+                meds = []
+                for j in range(lo, hi):
+                    cur = pairs[j][1].astype(np.int64) + \
+                        tally[inv[offs[j]: offs[j + 1]]]
+                    meds.append(int(np.sort(cur)[cur.size // 2]))
+                if min(meds) < NORMALIZE_LIMIT:
+                    for j in range(lo, hi):
+                        pending.append(pairs[j][0])
+                        np.add.at(tally, inv[offs[j]: offs[j + 1]], 1)
+                    if is_pair:
+                        write_record_pair(r1, r2, pass2fp)
+                    else:
+                        write_record(r1, pass2fp)
+                    nonlocal_save = hi - lo
+                    save_pass2 += nonlocal_save
+                else:
+                    for r, j in zip(reads, range(lo, hi)):
+                        correct_and_write(r, corrfp,
+                                          hashes=pairs[j][0])
+            if pending:
+                ct.storage.add_batch(np.concatenate(pending))
+
+        batch = []
+        n = 0
         for n, is_pair, read1, read2 in paired_iter:
             if n % 10000 == 0:
                 print('...', n, filename, save_pass2, n_reads, n_bp,
                       written_reads, written_bp, file=sys.stderr)
-
-            reads = [read1, read2] if is_pair else [read1]
-            n_reads += len(reads)
-            n_bp += sum(len(r.sequence) for r in reads)
-
-            meds = [ct.get_median_count(
-                r.sequence.replace('N', 'A'))[0] for r in reads]
-
-            if min(meds) < NORMALIZE_LIMIT:
-                for r in reads:
-                    ct.consume(r.sequence.replace('N', 'A'))
-                if is_pair:
-                    write_record_pair(read1, read2, pass2fp)
-                else:
-                    write_record(read1, pass2fp)
-                save_pass2 += len(reads)
-            else:
-                for r in reads:
-                    correct_and_write(r, corrfp)
+            batch.append((is_pair, read1, read2))
+            if len(batch) >= 1024:
+                process_batch(batch)
+                batch = []
+        if batch:
+            process_batch(batch)
 
         pass2fp.close()
         print('%s: kept aside %d of %d from first pass'
@@ -205,21 +249,36 @@ def main():
     for _, pass2filename, corrfp in pass2list:
         print('second pass: looking at sequences kept aside in %s'
               % pass2filename, file=sys.stderr)
+        # batched pass 2 (no consumes: one fetch per batch is exact)
+        def process_batch2(reads):
+            nonlocal skipped_n, skipped_bp
+            seqs = [r.sequence.replace('N', 'A') for r in reads]
+            pairs = ct._hash_count_rows(seqs)
+            for read, (hashes, counts) in zip(reads, pairs):
+                med = int(np.sort(counts)[counts.size // 2])
+                if med < NORMALIZE_LIMIT and args.variable_coverage:
+                    write_record(read, corrfp)
+                    skipped_n += 1
+                    skipped_bp += len(read.sequence)
+                else:
+                    correct_and_write(read, corrfp, hashes=hashes)
+
+        batch2 = []
         for n, read in enumerate(FastxReader(pass2filename)):
             if n % 10000 == 0:
                 print('... x 2', n, pass2filename, written_reads,
                       written_bp, file=sys.stderr)
-
-            seq = read.sequence.replace('N', 'A')
-            med, _, _ = ct.get_median_count(seq)
-
-            # do we retain low-abundance reads unmodified?
-            if med < NORMALIZE_LIMIT and args.variable_coverage:
+            if len(read.sequence) < K:
                 write_record(read, corrfp)
-                skipped_n += 1
-                skipped_bp += len(read.sequence)
-            else:
-                correct_and_write(read, corrfp)
+                written_reads += 1
+                written_bp += len(read.sequence)
+                continue
+            batch2.append(read)
+            if len(batch2) >= 1024:
+                process_batch2(batch2)
+                batch2 = []
+        if batch2:
+            process_batch2(batch2)
 
         print('removing %s' % pass2filename, file=sys.stderr)
         os.unlink(pass2filename)
