@@ -2,33 +2,55 @@
 
 Measures the full `load-into-counting` hot path on one chip — native
 parse + clean + 2-bit encode, bit-packed host->device transfer, fused
-hash, deferred sort-combine counting, sketch flush, n_unique — via the
-same `Countgraph.consume_seqfile` call the CLI scripts use (reference
-hot loop: src/oxli/hashtable.cc:133-158), and prints ONE JSON line:
+hash, deferred sort-dedup counting, ONE sketch flush per distinct
+k-mer, n_unique — via the same `Countgraph.consume_seqfile` call the
+CLI scripts use (reference hot loop: src/oxli/hashtable.cc:133-158),
+and prints ONE JSON line:
 
-  {"metric": "consume_mbps", "value": <MB/s of FASTA bytes>,
+  {"metric": "consume_mbps", "value": <best MB/s of FASTA bytes>,
    "unit": "MB/s", "vs_baseline": <value / 12.0>,
-   "kmer_hash_gbps": <GB/s of the bare hash kernel>}
+   "trials_mbps": [...], "stdev_mbps": ...,
+   "kmer_hash_gbps": <best GB/s of the bare hash kernel>,
+   "hash_trials_gbps": [...], "backend": "...", ...}
+
+MEASUREMENT PROTOCOL (the one protocol all docs quote — VERDICT r2
+"what's weak" #1): N=3 timed trials of the identical call; trial 1
+also warms the XLA compile cache (persistent across runs); the BEST
+trial is the headline (the tunnel adds run-to-run noise that only
+subtracts), and all trials + the standard deviation are reported so
+the variance is visible.  The hash kernel number is the same
+kmer_hashes_2bit_pm_u32 [4096, 16403] dispatch used by
+benchmarks/bench_kernels.py — PARITY.md and BENCH_KERNELS.json must
+quote THIS number, not a differently-shaped variant.
 
 vs_baseline anchors to 12.0 MB/s — round 1's end-to-end number for
-this exact config (VERDICT.md "What's weak" #1); the reference
-publishes no throughput numbers (BASELINE.md).  The bare hash-kernel
-throughput (round 1's headline, target 5 GB/s/chip) is carried along
-as `kmer_hash_gbps`.
+this exact config; the reference publishes no throughput numbers
+(BASELINE.md).
+
+ROBUSTNESS: TPU backend init through the tunnel can fail or hang
+(BENCH_r02 was lost to this).  Init runs in a subprocess probe with
+bounded retries + backoff; on persistent failure this script still
+prints a STRUCTURED failure JSON (rc 0) carrying the last known-good
+TPU record from BENCH_LKG.json marked "stale": true.
 
 Input: a synthetic 20x-coverage read set over a 3.2 Mbase random
 genome (realistic k-mer duplication for the deferred counting path),
 k=20, 4x100M-bin countgraph — the BASELINE.md load-into-counting
-config.  Two timed passes; the first also warms the XLA compile cache
-(persistent across runs), the second is reported.
+config.
 """
 
 import json
 import os
+import subprocess
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+LKG = os.path.join(HERE, "BENCH_LKG.json")
+TRIALS = 3
 
 
 def _make_reads(path, genome_mb=3.2, coverage=20, readlen=100, seed=42):
@@ -46,6 +68,34 @@ def _make_reads(path, genome_mb=3.2, coverage=20, readlen=100, seed=42):
             f.write(b"\n")
 
 
+def _probe_backend(timeout_s):
+    """Check that the accelerator backend initializes, in a SUBPROCESS
+    (a hung tunnel would otherwise wedge this script forever)."""
+    code = "import jax; jax.devices(); print(jax.default_backend())"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, "backend init timed out after %ds" % timeout_s
+    if r.returncode != 0:
+        return None, (r.stderr or r.stdout).strip()[-400:]
+    return r.stdout.strip().splitlines()[-1], None
+
+
+def _init_with_retries():
+    """Bounded retry/backoff on backend init; returns (backend, error)."""
+    delays = (0, 20, 60)
+    err = None
+    for d in delays:
+        if d:
+            time.sleep(d)
+        backend, err = _probe_backend(timeout_s=180)
+        if backend:
+            return backend, None
+    return None, err
+
+
 def _hash_kernel_gbps():
     import jax
     import jax.numpy as jnp
@@ -61,17 +111,39 @@ def _hash_kernel_gbps():
     codes = jnp.asarray(rng.integers(0, 4, (R, L), dtype=np.uint8))
     lengths = jnp.full((R,), L, jnp.int32)
     fn = jax.jit(lambda c: kmer_hashes_2bit_pm_u32(c, lengths, K)[:2])
-    hi, lo = fn(codes)
-    np.asarray(hi.ravel()[0:1]), np.asarray(lo.ravel()[0:1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    trials = []
+    for _ in range(TRIALS):
         hi, lo = fn(codes)
-    np.asarray(hi.ravel()[0:1]), np.asarray(lo.ravel()[0:1])
-    return R * L * iters / (time.perf_counter() - t0) / 1e9
+        np.asarray(hi.ravel()[0:1]), np.asarray(lo.ravel()[0:1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            hi, lo = fn(codes)
+        np.asarray(hi.ravel()[0:1]), np.asarray(lo.ravel()[0:1])
+        trials.append(R * L * iters / (time.perf_counter() - t0) / 1e9)
+    return trials
+
+
+def _emit(obj):
+    print(json.dumps(obj))
 
 
 def main():
-    import jax  # noqa: F401 — initialize backend before timing
+    backend, err = _init_with_retries()
+    if backend is None:
+        out = {
+            "metric": "consume_mbps", "value": 0.0, "unit": "MB/s",
+            "vs_baseline": 0.0, "error": "backend unavailable: %s" % err,
+        }
+        if os.path.exists(LKG):
+            with open(LKG) as f:
+                lkg = json.load(f)
+            lkg["stale"] = True
+            lkg["error"] = out["error"]
+            out = lkg
+        _emit(out)
+        return
+
+    import jax  # noqa: F401 — backend proven reachable above
 
     import khmer_tpu
 
@@ -80,23 +152,33 @@ def main():
         _make_reads(path)
     size = os.path.getsize(path)
 
-    mbps = 0.0
-    # best of 3: trial 1 also warms the XLA compile cache, and the
-    # tunneled link's throughput varies run to run
-    for _trial in range(3):
+    trials = []
+    for _trial in range(TRIALS):
         cg = khmer_tpu.Countgraph(20, 100_000_000, 4)
         t0 = time.perf_counter()
         cg.consume_seqfile(path)
         cg.n_unique_kmers()  # forces the full flush
-        mbps = max(mbps, size / (time.perf_counter() - t0) / 1e6)
+        trials.append(size / (time.perf_counter() - t0) / 1e6)
 
-    print(json.dumps({
+    hash_trials = _hash_kernel_gbps()
+    out = {
         "metric": "consume_mbps",
-        "value": round(mbps, 2),
+        "value": round(max(trials), 2),
         "unit": "MB/s",
-        "vs_baseline": round(mbps / 12.0, 3),
-        "kmer_hash_gbps": round(_hash_kernel_gbps(), 3),
-    }))
+        "vs_baseline": round(max(trials) / 12.0, 3),
+        "trials_mbps": [round(t, 2) for t in trials],
+        "stdev_mbps": round(float(np.std(trials)), 2),
+        "kmer_hash_gbps": round(max(hash_trials), 3),
+        "hash_trials_gbps": [round(t, 3) for t in hash_trials],
+        "backend": jax.default_backend(),
+        "protocol": "best of %d; trial 1 warms the persistent XLA "
+                    "compile cache" % TRIALS,
+        "captured_unix": int(time.time()),
+    }
+    if out["backend"] != "cpu":
+        with open(LKG, "w") as f:
+            json.dump(out, f, indent=1)
+    _emit(out)
 
 
 if __name__ == "__main__":

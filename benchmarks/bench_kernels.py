@@ -47,7 +47,8 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from khmer_tpu.ops.deferred import combine_lanes, make_flush_slice_fn
+    from khmer_tpu.ops.deferred import (combine_lanes, combine_unit_lanes,
+                                        make_premin_fn, make_scatter_fn)
     from khmer_tpu.ops.hashing import kmer_hashes_2bit_pm_u32
     from khmer_tpu.ops.sketch_ops import SketchSpec, alloc_table
     from khmer_tpu.primes import get_n_primes_near_x
@@ -73,6 +74,8 @@ def main():
     c = jax.jit(combine_lanes)
     res["combine_lanes_mlanes_s"] = round(
         n / timeit(c, keys, wgts) / 1e6, 1)
+    cu = jax.jit(combine_unit_lanes)
+    res["combine_unit_mlanes_s"] = round(n / timeit(cu, keys) / 1e6, 1)
 
     # scatter / gather at sketch shapes
     bins = 10_000_019 if cpu else 100_000_003
@@ -83,25 +86,27 @@ def main():
     ga = jax.jit(lambda t, i: t[i])
     res["gather_mlanes_s"] = round(n / timeit(ga, tbl, idx) / 1e6, 1)
 
-    # distinct-lane flush (premin + T-table scatter)
+    # distinct-lane flush: premin gather phase (preloaded-table path)
+    # and the scatter phase (the ONLY random access of a virgin-table
+    # consume)
     primes = tuple(get_n_primes_near_x(4, 1_000_000 if cpu else bins))
     spec = SketchSpec("byte", primes, False)
     table = alloc_table(spec)
-    ff = make_flush_slice_fn(spec)
+    pf = make_premin_fn(spec)
+    sf = make_scatter_fn(spec)
     F = 1 << (18 if cpu else 22)
     fk = jnp.asarray(np.sort(rng.integers(0, 1 << 40, F,
                                           dtype=np.uint64)))
     fw = jnp.ones(F, jnp.uint32)
-    uniq = jnp.zeros((), jnp.uint64)
+    res["flush_premin_mlanes_s"] = round(
+        F / timeit(pf, table, fk, fw) / 1e6, 1)
 
-    def flush_once(t, u):
-        return ff(t, u, fk, fw)
-
-    _sync(flush_once(table, uniq))
+    _sync(sf(alloc_table(spec), fk, fw))
     t0 = time.perf_counter()
-    out = flush_once(alloc_table(spec), uniq)
+    out = sf(alloc_table(spec), fk, fw)
     _sync(out)
-    res["flush_mlanes_s"] = round(F / (time.perf_counter() - t0) / 1e6, 1)
+    res["flush_scatter_mlanes_s"] = round(
+        F / (time.perf_counter() - t0) / 1e6, 1)
 
     # end-to-end consume (skipped on cpu: dominated by host parse)
     if not cpu:

@@ -291,10 +291,12 @@ def _make_append_fn(k, hash_kind, masked, banded, from_codes=False,
     (sort-based) bulk consume path — see khmer_tpu/ops/deferred.py.
     One dispatch per chunk; no random table access at all.  With
     packed=True, `data` is the single bit-packed codes+mask buffer
-    (_pack_chunk), unpacked on device, and `weights` is absent."""
+    (_pack_chunk), unpacked on device, and `weights` is absent.
+    UNIT-weight: a window either counts once or is invalid, so only
+    the key buffer moves (invalid lanes are SENTINEL keys)."""
     from khmer_tpu.ops.deferred import SENTINEL
 
-    def fn(kbuf, wbuf, fill, consumed, data, *rest):
+    def fn(kbuf, fill, consumed, data, *rest):
         if packed:
             data, weights = _unpack_chunk(data)
             extra = rest
@@ -320,10 +322,9 @@ def _make_append_fn(k, hash_kind, masked, banded, from_codes=False,
         consumed = consumed + jnp.sum(w.astype(U64))
         key = jnp.where(w > 0, hashes, SENTINEL)
         kbuf = jax.lax.dynamic_update_slice(kbuf, key, (fill,))
-        wbuf = jax.lax.dynamic_update_slice(wbuf, w, (fill,))
-        return kbuf, wbuf, consumed
+        return kbuf, consumed
 
-    return jax.jit(fn, donate_argnums=(0, 1))
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 @lru_cache(maxsize=None)
@@ -380,12 +381,14 @@ def _make_abund_counter(tracking_storage, chunk_lanes, main_spec,
             self._abund_fn = _make_abund_flush_fn(
                 main_spec, tracking_storage._read_spec())
 
-        def _flush_window(self, mk, mw, off, F):
+        def _flush_windows(self, mk, mw, n, F):
             st = self.storage
-            st.table, st._n_unique, self.dist = self._abund_fn(
-                st.table, st._n_unique, mk[off: off + F], main_table,
-                self.dist)
+            for off in range(0, n, F):
+                st.table, st._n_unique, self.dist = self._abund_fn(
+                    st.table, st._n_unique, mk[off: off + F],
+                    main_table, self.dist)
             st._loaded_occupied = None
+            st.mark_dirty()
 
     return _AbundCounter()
 
@@ -888,10 +891,15 @@ class Hashtable:
             tail = batcher.drain()
             if tail is not None:
                 consumer.add_chunk(*tail)
-        delta, n_unique, n_consumed, cands = consumer.finish(st.table)
+        if st.is_virgin():
+            delta, n_unique, n_consumed, cands = consumer.finish(
+                virgin=True)
+        else:
+            delta, n_unique, n_consumed, cands = consumer.finish(st.table)
         st.table = (st.table + delta).astype(U32)
         st._n_unique = st._n_unique + jnp.uint64(n_unique)
         st._loaded_occupied = None
+        st.mark_dirty()
         if cands and st.get_use_bigcount():
             st.bigcount_candidates.update(cands)
         return n_reads, n_consumed
@@ -928,13 +936,30 @@ class Hashtable:
             st, _chunk_lane_count(self._ksize, self.hash_kind, chunk))
         consumed = jnp.zeros((), U64)
 
+        from khmer_tpu.ops.deferred import stage, timing_enabled
+
         def produce():
+            import time as _t
+
             for data, weights in reader:
-                yield jax.device_put(_pack_chunk(data, weights))
+                t0 = _t.perf_counter()
+                buf = _pack_chunk(data, weights)
+                t1 = _t.perf_counter()
+                dev = jax.device_put(buf)
+                if timing_enabled():
+                    from khmer_tpu.ops.deferred import (STAGE_LANES,
+                                                        STAGE_TIMES)
+
+                    STAGE_TIMES["pack"] += t1 - t0
+                    STAGE_TIMES["h2d-enqueue"] += _t.perf_counter() - t1
+                    STAGE_LANES["pack"] += int(data.shape[0])
+                yield dev
 
         for buf in _producer_stream(produce):
-            consumed = counter.append_chunk(fn, consumed, (buf,))
-        counter.finish()
+            with stage("append-dispatch", lanes=counter.chunk_lanes):
+                consumed = counter.append_chunk(fn, consumed, (buf,))
+        with stage("finish"):
+            counter.finish()
         n_reads, n_consumed, _ = reader.stats()
         reader.close()
         return int(n_reads), int(n_consumed)

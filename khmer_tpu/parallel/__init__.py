@@ -21,10 +21,9 @@ semantics bit-for-bit.
 """
 
 from khmer_tpu.parallel.sharded import (  # noqa: F401
-    ShardedCountConsumer,
+    ShardedDeferredConsumer,
     band_owner,
     make_mesh,
-    make_sharded_consume_step,
     make_sharded_query,
     merge_tables_saturating,
 )

@@ -2,32 +2,36 @@
 
 Design (TPU-first, no reference analogue — the reference is single-host):
 
-  mesh axes ("data", "shard").  The sketch state is a uint8 array of
-  shape [D, S, total_bytes + 1] sharded PartitionSpec("data", "shard",
+  mesh axes ("data", "shard").  The sketch state is a uint32 array of
+  shape [D, S, total_bins + 1] sharded PartitionSpec("data", "shard",
   None): every device holds one full-geometry partial table.
 
   * shard s owns hash band [s*W, (s+1)*W) with W = U64_MAX // S
     (reference banding arithmetic, src/oxli/kmer_hash.cc:290-304; the
     top sliver that reference banding *drops* is assigned to the last
     shard so no k-mer is lost).
-  * one step: each device hashes its local read chunk, routes every
-    (hash, weight) lane to the band owner with an all_to_all along
-    "shard" (fixed per-destination capacity, see below), and scatter-adds
-    the received lanes into its own partial table.
+  * STREAMING IS ZERO-COMMUNICATION: each device hashes its own
+    bit-packed chunk stream into a local lane buffer
+    (khmer_tpu/ops/deferred.py design); duplicate hashes are combined
+    locally by sort-merge, survivors retained in the buffer.
+  * at finish() the locally-distinct (hash, total) lanes are routed to
+    their band owners (one all_to_all per window; overflow lanes stay
+    local and are re-routed by the host drain loop until none remain —
+    drops are structurally impossible).  Owners COLLECT received lanes
+    in a ledger bag, combine them once (cross-source/round duplicates
+    add exactly), and scatter their partial table ONCE per
+    globally-distinct hash.
   * the serial table equals the saturating sum of all partial tables:
     for each bin, serial = min(cap, total increments), and
     min(cap, sum_d min(cap, x_d)) == min(cap, sum_d x_d) because any
     saturated partial already forces the sum past cap.
+  * n_unique is BIT-EQUAL to the single-device deferred path: both
+    count the distinct consumed hashes whose min-over-tables count in
+    the PRE-CONSUME table (`base`) was zero.  Each hash lives on
+    exactly one owner, so the per-shard news partition the global set.
   * a count query psums per-table bin values across the mesh *before*
     the min-over-tables reduction, which reproduces the serial
     Count-Min read (min over tables of total bin count) exactly.
-
-Routing capacity: all_to_all needs equal splits, so each device sends a
-fixed [S, cap] buffer.  Hashes are uniform, so the per-destination load
-is W/S with binomial fluctuation; cap = ceil(W/S) * cap_factor overflows
-with negligible probability for the chunk sizes used (overflowing lanes
-are dropped and counted in the returned `n_dropped` so callers can
-detect and re-run a pathological batch).
 """
 
 from functools import lru_cache, partial
@@ -39,7 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from khmer_tpu.ops.sketch_ops import GET_FNS, UPDATE_FNS, SketchSpec
+from khmer_tpu.ops.sketch_ops import SketchSpec, _bin_idx
 
 U8 = jnp.uint8
 U32 = jnp.uint32
@@ -88,94 +92,6 @@ def band_owner(hashes, n_shards):
     return jnp.minimum((mixed // band).astype(I32), n_shards - 1)
 
 
-def _route_lanes(hashes, weights, n_shards, cap):
-    """Pack (hash, weight) lanes into fixed [S, cap] per-destination
-    buffers; returns (send_h, send_w, n_dropped)."""
-    n = hashes.shape[0]
-    owner = jnp.where(weights > 0, band_owner(hashes, n_shards), n_shards)
-    order = jnp.argsort(owner)
-    h_s = hashes[order]
-    w_s = weights[order]
-    o_s = owner[order]
-    counts = jnp.bincount(o_s, length=n_shards + 1)
-    starts = jnp.cumsum(counts) - counts
-    pos = jnp.arange(n, dtype=I32) - starts[o_s].astype(I32)
-    ok = (o_s < n_shards) & (pos < cap)
-    slot = jnp.where(ok, o_s * cap + pos, n_shards * cap)
-    send_h = jnp.zeros(n_shards * cap + 1, U64).at[slot].set(h_s)
-    send_w = jnp.zeros(n_shards * cap + 1, U32).at[slot].set(
-        jnp.where(ok, w_s, 0))
-    n_dropped = jnp.sum(((o_s < n_shards) & ~ok).astype(U32))
-    return (send_h[:-1].reshape(n_shards, cap),
-            send_w[:-1].reshape(n_shards, cap), n_dropped)
-
-
-def make_sharded_consume_step(spec: SketchSpec, k: int, hash_kind: str,
-                              mesh: Mesh, chunk: int, cap_factor: float = 2.0):
-    """Build the jitted multi-device consume step.
-
-    Returns (step, state_shardings) where
-
-      step(tables, occ, uniq, data, weights)
-        -> (tables, occ, uniq, n_dropped)
-
-      tables: uint8 [D, S, total_bytes + 1]   P("data", "shard", None)
-      occ/uniq: uint64 [D, S]                 P("data", "shard")
-      data: uint8 [D, S, chunk]               P("data", "shard", None)
-        — 2-bit codes ("2bit") or ASCII bytes ("murmur"); each device's
-        row is an independent flat chunk of concatenated reads.
-      weights: uint32 [D, S, chunk]           window validity/multiplicity.
-    """
-    from khmer_tpu.hashtable import ROW_PAYLOAD, _chunk_hashes_weights
-
-    D = mesh.shape["data"]
-    S = mesh.shape["shard"]
-    payload = min(ROW_PAYLOAD, chunk)
-    if chunk % payload:
-        raise ValueError("chunk must be a multiple of the row payload")
-    cap = int(np.ceil(chunk / S) * cap_factor) if S > 1 else chunk
-    update = UPDATE_FNS[spec.kind]
-
-    def local_step(table, occ, uniq, data, weights):
-        # local blocks: table [1, 1, bins+1], data [1, 1, chunk]
-        tbl = table[0, 0]
-        hashes, w = _chunk_hashes_weights(
-            data[0, 0], weights[0, 0].astype(U32), k, hash_kind, payload)
-        if S > 1:
-            send_h, send_w, n_drop = _route_lanes(hashes, w, S, cap)
-            recv_h = lax.all_to_all(send_h, "shard", 0, 0)
-            recv_w = lax.all_to_all(send_w, "shard", 0, 0)
-            h, wts = recv_h.reshape(-1), recv_w.reshape(-1)
-        else:
-            h, wts, n_drop = hashes, w, jnp.zeros((), U32)
-        tbl, o, u, _ = update(spec, tbl, occ[0, 0], uniq[0, 0], h, wts)
-        return (tbl[None, None], o[None, None], u[None, None],
-                n_drop[None, None])
-
-    specs = dict(
-        tables=P("data", "shard", None),
-        scal=P("data", "shard"),
-        data=P("data", "shard", None),
-    )
-    step = jax.jit(
-        jax.shard_map(
-            local_step, mesh=mesh,
-            in_specs=(specs["tables"], specs["scal"], specs["scal"],
-                      specs["data"], specs["data"]),
-            out_specs=(specs["tables"], specs["scal"], specs["scal"],
-                       specs["scal"]),
-        ),
-        donate_argnums=(0,),
-    )
-
-    shardings = {
-        "tables": NamedSharding(mesh, specs["tables"]),
-        "scal": NamedSharding(mesh, specs["scal"]),
-        "data": NamedSharding(mesh, specs["data"]),
-    }
-    return step, shardings
-
-
 def make_sharded_query(spec: SketchSpec, mesh: Mesh):
     """Build the jitted multi-device count query.
 
@@ -211,94 +127,9 @@ def merge_tables_saturating(tables, spec: SketchSpec):
                    axis=tuple(range(tables.ndim - 1))).astype(U32)
 
 
-class ShardedCountConsumer:
-    """Host-side driver: streams read chunks into a mesh-sharded sketch.
-
-    One instance per host process; on multi-host pods each host feeds its
-    own file shard (jax.distributed handles the cross-host collectives).
-    """
-
-    def __init__(self, spec, k, hash_kind, mesh=None, chunk=1 << 20,
-                 cap_factor=2.0):
-        self.spec = spec
-        self.k = k
-        self.hash_kind = hash_kind
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.chunk = chunk
-        self.D = self.mesh.shape["data"]
-        self.S = self.mesh.shape["shard"]
-        self.step, self.shardings = make_sharded_consume_step(
-            spec, k, hash_kind, self.mesh, chunk, cap_factor)
-        self.query = make_sharded_query(spec, self.mesh)
-        nbins = spec.total_bins + 1
-        self.tables = jax.device_put(
-            jnp.zeros((self.D, self.S, nbins), U32),
-            self.shardings["tables"])
-        self.occ = jax.device_put(
-            jnp.zeros((self.D, self.S), U64), self.shardings["scal"])
-        self.uniq = jax.device_put(
-            jnp.zeros((self.D, self.S), U64), self.shardings["scal"])
-        self.dropped = jax.device_put(
-            jnp.zeros((self.D, self.S), U32), self.shardings["scal"])
-        # replicated-output reducers: REQUIRED on multi-process meshes,
-        # where eager reads of partially-addressable arrays fail
-        rep = NamedSharding(self.mesh, P())
-        self._sum_scal = jax.jit(
-            lambda x: jnp.sum(x.astype(U64)), out_shardings=rep)
-        self._merge = jax.jit(
-            lambda t: merge_tables_saturating(t, spec), out_shardings=rep)
-
-    def consume_chunks(self, data, weights):
-        """data/weights: [D, S, chunk] host arrays (one chunk/device),
-        identical on every process of a multi-host run."""
-        data = jax.device_put(np.asarray(data, np.uint8),
-                              self.shardings["data"])
-        weights = jax.device_put(np.asarray(weights, np.uint32),
-                                 self.shardings["data"])
-        self.consume_chunks_arrays(data, weights)
-
-    def consume_chunks_arrays(self, data, weights):
-        """Same as consume_chunks for already-sharded global jax
-        arrays (multi-host callers build them with
-        jax.make_array_from_process_local_data)."""
-        self.tables, self.occ, self.uniq, dropped = self.step(
-            self.tables, self.occ, self.uniq, data, weights)
-        self.dropped = self.dropped + dropped
-
-    @property
-    def n_dropped(self):
-        return int(np.asarray(self._sum_scal(self.dropped)))
-
-    def get_counts(self, hashes):
-        return np.asarray(
-            self.query(self.tables, jnp.asarray(hashes, U64)))
-
-    def merged_table(self):
-        return np.asarray(self._merge(self.tables))
-
-    def n_unique_kmers(self):
-        # per-shard uniq sums are exact per band (bands partition the
-        # hash space); cross-band FP suppression makes this >= the
-        # serial estimate, never less accurate.
-        return int(np.asarray(self._sum_scal(self.uniq)))
-
-
 # ---------------------------------------------------------------------------
-# Round 2: deferred sharded consume (zero-comms streaming, routed flush)
+# Deferred sharded consume: zero-comms streaming, routed collect, one flush
 # ---------------------------------------------------------------------------
-#
-# The round-1 consumer above routes EVERY hashed occurrence through an
-# all_to_all with a fixed per-destination cap, which (a) pays the
-# random-scatter price per occurrence and (b) can overflow the cap on
-# skewed data (poly-A tails all own-hash to one shard).  The deferred
-# design fixes both: each device streams hashes into a LOCAL lane
-# buffer (khmer_tpu/ops/deferred.py) with no communication at all;
-# duplicate hashes are combined locally by sort-merge; only DISTINCT
-# (hash, total) lanes are routed to their band owner at flush time.
-# Skew from repeated k-mers collapses before routing (a poly-A chunk
-# becomes ONE lane), and any residual overflow lanes stay local and
-# are re-routed by the host drain loop until none remain — drops are
-# structurally impossible.
 
 
 def _route_with_leftover(hashes, weights, n_shards, cap):
@@ -331,140 +162,197 @@ def _route_with_leftover(hashes, weights, n_shards, cap):
             send_w[:-1].reshape(n_shards, cap), left_h, left_w, n_left)
 
 
-@lru_cache(maxsize=None)
-def make_routed_update_step(spec: SketchSpec, mesh: Mesh,
-                            cap_dest: int, with_base: bool = False):
-    """Jitted step: dedup local lanes, route distinct lanes to their
-    band owners (one all_to_all), owner-side dedup, then the T-table
-    scatter with batch-window n_unique accounting.  Cached per
-    (spec, mesh, cap) so repeated consumes reuse the compile; lane
-    windows of different (power-of-two) sizes retrace inside the jit.
-
-    step(tables, uniq, keys, wgts[, base])
-      -> (tables, uniq, keys', wgts', n_left[, cand, n_cross])
-
-    tables [D,S,bins+1] P(d,s,None); uniq/n_left [D,S] P(d,s);
-    keys/wgts [D,S,F] P(d,s,None); base [bins+1] replicated
-    (the pre-consume serial table — premin reads base+partial so
-    n_unique matches the single-device deferred path exactly when the
-    consume started from `base`).  Overflow lanes come back compacted
-    in keys'/wgts'; callers loop until sum(n_left) == 0.
-    """
-    from khmer_tpu.ops.deferred import SENTINEL, combine_lanes
-    from khmer_tpu.ops.sketch_ops import _bin_idx
-
-    S = mesh.shape["shard"]
-    track_bigcount = spec.use_bigcount and spec.kind == "byte"
-
-    def local(tables, uniq, keys, wgts, *maybe_base):
-        tbl = tables[0, 0]
-        u = uniq[0, 0]
-        k2, w2, _ = combine_lanes(keys[0, 0], wgts[0, 0])
-        if S > 1:
-            send_h, send_w, left_h, left_w, n_left = _route_with_leftover(
-                k2, w2, S, cap_dest)
-            recv_h = lax.all_to_all(send_h, "shard", 0, 0)
-            recv_w = lax.all_to_all(send_w, "shard", 0, 0)
-            rk, rw, _ = combine_lanes(recv_h.reshape(-1),
-                                      recv_w.reshape(-1))
-        else:
-            rk, rw = k2, w2
-            left_h = jnp.full(k2.shape, SENTINEL, U64)
-            left_w = jnp.zeros(w2.shape, U32)
-            n_left = jnp.zeros((), I32)
-        wv = jnp.where(rk != SENTINEL, rw, U32(0))
-        idx = _bin_idx(spec, rk)
-        dummy = jnp.int64(spec.total_bins)
-        idx = jnp.where(wv[None, :] > 0, idx, dummy)
-        pre = tbl[idx]
-        if with_base:
-            pre = pre + maybe_base[0][idx]
-        premin = jnp.min(pre, axis=0)
-        u = u + jnp.sum(((premin == 0) & (wv > 0)).astype(U64))
-        tbl = tbl.at[idx.reshape(-1)].add(jnp.tile(wv, spec.n_tables))
-        outs = [tbl[None, None], u[None, None], left_h[None, None],
-                left_w[None, None], n_left[None, None]]
-        if track_bigcount:
-            cross = (pre[0] + wv > 255) & (wv > 0)
-            cand = lax.sort(jnp.where(cross, rk, SENTINEL))
-            n_cross = jnp.sum(cross.astype(U32))
-            outs += [cand[None, None], n_cross[None, None]]
-        return tuple(outs)
-
-    tbl_s = P("data", "shard", None)
-    scal_s = P("data", "shard")
-    lane_s = P("data", "shard", None)
-    in_specs = [tbl_s, scal_s, lane_s, lane_s]
-    if with_base:
-        in_specs.append(P(None))
-    out_specs = [tbl_s, scal_s, lane_s, lane_s, scal_s]
-    if track_bigcount:
-        out_specs += [lane_s, scal_s]
-    return jax.jit(
-        jax.shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
-                      out_specs=tuple(out_specs)),
-        donate_argnums=(0, 2, 3),
-    )
+_AXES = ("data", "shard")  # banding flattens both mesh axes: D*S bands
 
 
 @lru_cache(maxsize=None)
 def make_sharded_append_step(k: int, hash_kind: str, mesh: Mesh,
-                             chunk: int, cap: int, from_codes: bool = False):
-    """Jitted zero-communication append: each device hashes its own
-    chunk and appends the lanes to its local deferred buffer.
+                             chunk: int, cap: int):
+    """Jitted zero-communication append: each device unpacks and
+    hashes its own BIT-PACKED chunk (2-bit codes + validity mask,
+    hashtable._pack_chunk — 13x less wire than raw bytes + u32 mask)
+    and appends the unit-weight lanes to its local key buffer.
 
-    step(keys, wgts, fill, consumed, data, weights)
-      -> (keys, wgts, consumed)
+    step(keys, fill, consumed, packed) -> (keys, consumed)
 
-    keys/wgts [D,S,cap] P(d,s,None); data/weights [D,S,chunk]
-    P(d,s,None); fill scalar (replicated); consumed [D,S] P(d,s)."""
+    keys [D,S,cap] P(d,s,None); packed [D,S,3*chunk/8] P(d,s,None);
+    fill scalar (replicated); consumed [D,S] P(d,s)."""
     from khmer_tpu.hashtable import (ROW_PAYLOAD, _chunk_hashes_weights,
-                                     _decode_codes)
+                                     _decode_codes, _unpack_chunk)
     from khmer_tpu.ops.deferred import SENTINEL
 
     payload = min(ROW_PAYLOAD, chunk)
 
-    def local(keys, wgts, fill, consumed, data, weights):
-        d = data[0, 0]
-        if from_codes and hash_kind != "2bit":
+    def local(keys, fill, consumed, packed):
+        d, m = _unpack_chunk(packed[0, 0])
+        # the wire format is always 2-bit codes (the packer translates
+        # ASCII); byte-stream hashes need the ASCII restored
+        if hash_kind != "2bit":
             d = _decode_codes(d)
         hashes, w = _chunk_hashes_weights(
-            d, weights[0, 0].astype(U32), k, hash_kind, payload)
+            d, m.astype(U32), k, hash_kind, payload)
         c = consumed[0, 0] + jnp.sum(w.astype(U64))
         key = jnp.where(w > 0, hashes, SENTINEL)
         kb = lax.dynamic_update_slice(keys[0, 0], key, (fill,))
-        wb = lax.dynamic_update_slice(wgts[0, 0], w, (fill,))
-        return kb[None, None], wb[None, None], c[None, None]
+        return kb[None, None], c[None, None]
 
     lane_s = P("data", "shard", None)
     scal_s = P("data", "shard")
     return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
-            in_specs=(lane_s, lane_s, P(), scal_s, lane_s, lane_s),
-            out_specs=(lane_s, lane_s, scal_s)),
+            in_specs=(lane_s, P(), scal_s, lane_s),
+            out_specs=(lane_s, scal_s)),
+        donate_argnums=(0,),
+    )
+
+
+@lru_cache(maxsize=None)
+def make_sharded_merge_step(mesh: Mesh, unit: bool, bucket: int):
+    """Jitted per-device lane compaction (no communication): each
+    device combines duplicate hashes in its buffer prefix [0, bucket)
+    in place.  With unit=True every lane weighs 1 (keys-only first
+    sort); otherwise lanes below `s_end` carry retained totals in
+    `wgts` and lanes at or above it are fresh unit appends.
+
+    step(keys[D,S,cap], wgts[D,S,cap], s_end)
+      -> (keys, wgts, n_valid[D,S])."""
+    from khmer_tpu.ops.deferred import combine_lanes, combine_unit_lanes
+
+    def local(keys, wgts, s_end):
+        k = keys[0, 0]
+        w = wgts[0, 0]
+        kseg = lax.dynamic_slice(k, (0,), (bucket,))
+        if unit:
+            k2, w2, nv = combine_unit_lanes(kseg)
+        else:
+            wseg = lax.dynamic_slice(w, (0,), (bucket,))
+            idx = lax.iota(I32, bucket)
+            w_eff = jnp.where(idx < s_end, wseg, U32(1))
+            k2, w2, nv = combine_lanes(kseg, w_eff)
+        k = lax.dynamic_update_slice(k, k2, (0,))
+        w = lax.dynamic_update_slice(w, w2, (0,))
+        return k[None, None], w[None, None], nv[None, None]
+
+    lane_s = P("data", "shard", None)
+    scal_s = P("data", "shard")
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh,
+                      in_specs=(lane_s, lane_s, P()),
+                      out_specs=(lane_s, lane_s, scal_s)),
         donate_argnums=(0, 1),
     )
 
 
 @lru_cache(maxsize=None)
-def make_sharded_merge_step(mesh: Mesh):
-    """Jitted per-device lane compaction (no communication): each
-    device combines duplicate hashes in its buffer prefix.
+def make_routed_collect_step(mesh: Mesh, F: int, cap_dest: int,
+                             from_buffer: bool):
+    """Jitted routing round: each device routes one window of its
+    locally-distinct (hash, total) lanes to the band owners (one
+    all_to_all over BOTH mesh axes — D*S bands); owners APPEND the
+    received block into their ledger bag at the host-tracked offset.
+    Lanes that overflow a destination's fixed capacity stay local and
+    come back compacted for the next drain round (from_buffer=False).
 
-    step(keys[D,S,bucket], wgts) -> (keys, wgts, n_valid[D,S])."""
-    from khmer_tpu.ops.deferred import combine_lanes
+    step(ledger_k, ledger_w, keys, wgts, off, loff)
+      -> (ledger_k, ledger_w, left_k[D,S,F], left_w, n_left[D,S])
 
-    def local(keys, wgts):
-        k2, w2, nv = combine_lanes(keys[0, 0], wgts[0, 0])
-        return k2[None, None], w2[None, None], nv[None, None]
+    from_buffer=True: keys/wgts are the full [D,S,cap] buffers and the
+    window [off, off+F) is sliced on device; otherwise keys/wgts are
+    [D,S,F] leftover arrays from the previous round (off ignored)."""
+    from khmer_tpu.ops.deferred import SENTINEL
+
+    NS = mesh.shape["data"] * mesh.shape["shard"]
+
+    def local(ledger_k, ledger_w, keys, wgts, off, loff):
+        if from_buffer:
+            k = lax.dynamic_slice(keys[0, 0], (off,), (F,))
+            w = lax.dynamic_slice(wgts[0, 0], (off,), (F,))
+        else:
+            k, w = keys[0, 0], wgts[0, 0]
+        if NS > 1:
+            send_h, send_w, left_h, left_w, n_left = _route_with_leftover(
+                k, w, NS, cap_dest)
+            recv_h = lax.all_to_all(send_h, _AXES, 0, 0).reshape(-1)
+            recv_w = lax.all_to_all(send_w, _AXES, 0, 0).reshape(-1)
+        else:
+            recv_h, recv_w = k, w
+            left_h = jnp.full(k.shape, SENTINEL, U64)
+            left_w = jnp.zeros(w.shape, U32)
+            n_left = jnp.zeros((), I32)
+        lk = lax.dynamic_update_slice(ledger_k[0, 0], recv_h, (loff,))
+        lw = lax.dynamic_update_slice(ledger_w[0, 0], recv_w, (loff,))
+        return (lk[None, None], lw[None, None], left_h[None, None],
+                left_w[None, None], n_left[None, None])
 
     lane_s = P("data", "shard", None)
     scal_s = P("data", "shard")
     return jax.jit(
-        jax.shard_map(local, mesh=mesh, in_specs=(lane_s, lane_s),
-                      out_specs=(lane_s, lane_s, scal_s)),
+        jax.shard_map(local, mesh=mesh,
+                      in_specs=(lane_s, lane_s, lane_s, lane_s, P(), P()),
+                      out_specs=(lane_s, lane_s, lane_s, lane_s, scal_s)),
         donate_argnums=(0, 1),
+    )
+
+
+@lru_cache(maxsize=None)
+def make_sharded_flush_step(spec: SketchSpec, mesh: Mesh, F: int,
+                            virgin: bool, track_bigcount: bool):
+    """Jitted flush of one window of owner-distinct (key, total) lanes
+    into the per-shard partial tables, with consume-wide n_unique
+    accounting against the PRE-CONSUME serial table `base` (replicated)
+    — or no gather at all when the consume started from a virgin
+    (all-zero) table.  Bigcount candidates are all_gathered so every
+    process can read them (multi-host safety).
+
+    step(tables, uniq, keys, wgts, off[, base])
+      -> (tables, uniq[, cand [D*S*F] replicated, n_cross [D*S] repl.])
+    """
+    from khmer_tpu.ops.deferred import SENTINEL
+
+    def local(tables, uniq, keys, wgts, off, *maybe_base):
+        tbl = tables[0, 0]
+        rk = lax.dynamic_slice(keys[0, 0], (off,), (F,))
+        rw = lax.dynamic_slice(wgts[0, 0], (off,), (F,))
+        w = jnp.where(rk != SENTINEL, rw, U32(0))
+        idx = _bin_idx(spec, rk)
+        dummy = jnp.int64(spec.total_bins)
+        idx = jnp.where(w[None, :] > 0, idx, dummy)
+        if virgin:
+            n_new = jnp.sum((w > 0).astype(U64))
+            pre0 = jnp.zeros(w.shape, U32)
+        else:
+            pre = maybe_base[0][idx]
+            premin = jnp.min(pre, axis=0)
+            n_new = jnp.sum(((premin == 0) & (w > 0)).astype(U64))
+            pre0 = pre[0]
+        tbl = tbl.at[idx.reshape(-1)].add(jnp.tile(w, spec.n_tables))
+        outs = [tbl[None, None], (uniq[0, 0] + n_new)[None, None]]
+        if track_bigcount:
+            cross = (pre0 + w > 255) & (w > 0)
+            cand = lax.sort(jnp.where(cross, rk, SENTINEL))
+            n_cross = jnp.sum(cross.astype(U32))
+            outs += [lax.all_gather(cand, _AXES).reshape(-1),
+                     lax.all_gather(n_cross, _AXES).reshape(-1)]
+        return tuple(outs)
+
+    tbl_s = P("data", "shard", None)
+    scal_s = P("data", "shard")
+    lane_s = P("data", "shard", None)
+    in_specs = [tbl_s, scal_s, lane_s, lane_s, P()]
+    if not virgin:
+        in_specs.append(P(None))
+    out_specs = [tbl_s, scal_s]
+    kwargs = {}
+    if track_bigcount:
+        out_specs += [P(), P()]
+        # the candidate outputs ARE replicated (all_gather over every
+        # mesh axis), but the static varying-axes check cannot infer it
+        kwargs["check_vma"] = False
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                      out_specs=tuple(out_specs), **kwargs),
+        donate_argnums=(0,),
     )
 
 
@@ -472,7 +360,8 @@ def make_sharded_merge_step(mesh: Mesh):
 def make_partials_reduce(mesh: Mesh):
     """Jitted sum of the per-device partial tables into one flat
     serial-equal table (saturation applies at read, so the plain sum
-    IS the serial table; see module docstring)."""
+    IS the serial table; see module docstring).  Replicated output:
+    safe to read on every process of a multi-host run."""
 
     def fn(tables):
         return jnp.sum(tables, axis=(0, 1))
@@ -480,21 +369,60 @@ def make_partials_reduce(mesh: Mesh):
     return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
 
 
+@lru_cache(maxsize=None)
+def make_scalar_sum(mesh: Mesh):
+    """Replicated-output scalar reducer: REQUIRED on multi-process
+    meshes, where eager reads of partially-addressable arrays fail."""
+    return jax.jit(lambda x: jnp.sum(x.astype(jnp.int64)),
+                   out_shardings=NamedSharding(mesh, P()))
+
+
+@lru_cache(maxsize=None)
+def make_scalar_max(mesh: Mesh):
+    return jax.jit(lambda x: jnp.max(x.astype(jnp.int64)),
+                   out_shardings=NamedSharding(mesh, P()))
+
+
+@lru_cache(maxsize=None)
+def _make_grow_copy(mesh: Mesh):
+    @partial(jax.jit, donate_argnums=(1, 2),
+             static_argnums=())
+    def fn(old_k, new_k, new_w, old_w):
+        new_k = lax.dynamic_update_slice(new_k, old_k, (0, 0, 0))
+        new_w = lax.dynamic_update_slice(new_w, old_w, (0, 0, 0))
+        return new_k, new_w
+
+    return fn
+
+
 class ShardedDeferredConsumer:
     """Transient multi-device deferred counter for ONE bulk consume.
 
-    Lifecycle: created with empty per-device partial tables; chunks
-    stream in S at a time with zero communication; local merges combine
-    duplicates; `finish(base)` routes distinct lanes to band owners,
-    accounts n_unique/bigcount against `base` (the storage's
-    pre-consume table), and returns (delta_table, n_unique_delta,
-    n_consumed, bigcount_candidates) for the host Storage to adopt.
+    Lifecycle: created with empty per-device partial tables; bit-packed
+    chunks stream in (one per device) with zero communication; local
+    merges combine duplicates (survivors retained in the buffer);
+    `finish()` routes locally-distinct lanes to their band owners
+    (D*S bands over both mesh axes), owner-combines them exactly,
+    flushes each partial table once per globally-distinct hash with
+    n_unique/bigcount accounted against the pre-consume table, and
+    returns (delta_table, n_unique_delta, n_consumed,
+    bigcount_candidates) for the host Storage to adopt.
 
     Parity: counts serial-exact (sum of partials; saturation at read);
-    n_unique exact vs the single-device deferred path (premin reads
-    base + own partial; bands partition the hash space so each hash's
-    total lives in exactly one partial).
-    """
+    n_unique BIT-EQUAL to the single-device deferred path (both count
+    distinct consumed hashes whose premin in the pre-consume table was
+    zero; bands partition the hash space so each hash's total lives on
+    exactly one owner).  Drops are structurally impossible: routing
+    overflow lanes stay local and the drain loop re-routes until none
+    remain.
+
+    Multi-process safe: every host-read value comes from a
+    replicated-output jit; the host control flow (merge points, window
+    count, drain rounds, ledger growth) is a pure function of
+    host-tracked fills and replicated reductions, so all processes
+    issue identical collective sequences.  On multi-process meshes
+    each process queues chunks for its OWN devices only
+    (jax.make_array_from_process_local_data assembles the batch)."""
 
     def __init__(self, spec, k, hash_kind, mesh=None, chunk=1 << 20,
                  cap=None, from_codes=False):
@@ -504,11 +432,13 @@ class ShardedDeferredConsumer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.D = self.mesh.shape["data"]
         self.S = self.mesh.shape["shard"]
-        if self.D != 1:
-            raise ValueError("deferred consumer uses a [1, S] mesh")
+        self.NS = self.D * self.S
+        if chunk % 8:
+            raise ValueError("chunk must be a multiple of 8 (bit packing)")
         self.chunk = chunk
         self.k = k
         self.hash_kind = hash_kind
+        self.from_codes = from_codes
         from khmer_tpu.hashtable import _chunk_lane_count
 
         self.chunk_lanes = _chunk_lane_count(k, hash_kind, chunk,
@@ -521,118 +451,207 @@ class ShardedDeferredConsumer:
         self.cap = dfr._next_pow2(max(int(cap), 2 * self.chunk_lanes))
         self.max_flush = min(dfr.FLUSH_SLICE, self.cap)
         self._append = make_sharded_append_step(
-            k, hash_kind, self.mesh, chunk, self.cap, from_codes)
-        self._merge_step = make_sharded_merge_step(self.mesh)
+            k, hash_kind, self.mesh, chunk, self.cap)
         self._reduce = make_partials_reduce(self.mesh)
+        self._sum = make_scalar_sum(self.mesh)
+        self._max = make_scalar_max(self.mesh)
         lane_sh = NamedSharding(self.mesh, P("data", "shard", None))
         scal_sh = NamedSharding(self.mesh, P("data", "shard"))
         self.lane_sh, self.scal_sh = lane_sh, scal_sh
+        self._multi = jax.process_count() > 1
+        self._n_local = sum(d.process_index == jax.process_index()
+                            for d in self.mesh.devices.flat)
+        self._batch_rows = self._n_local if self._multi else self.NS
         self.keys = jax.device_put(
-            jnp.full((1, self.S, self.cap), dfr.SENTINEL, U64), lane_sh)
+            jnp.full((self.D, self.S, self.cap), dfr.SENTINEL, U64),
+            lane_sh)
         self.wgts = jax.device_put(
-            jnp.zeros((1, self.S, self.cap), U32), lane_sh)
+            jnp.zeros((self.D, self.S, self.cap), U32), lane_sh)
         self.tables = jax.device_put(
-            jnp.zeros((1, self.S, spec.total_bins + 1), U32), lane_sh)
-        self.uniq = jax.device_put(jnp.zeros((1, self.S), U64), scal_sh)
+            jnp.zeros((self.D, self.S, spec.total_bins + 1), U32),
+            lane_sh)
+        self.uniq = jax.device_put(
+            jnp.zeros((self.D, self.S), U64), scal_sh)
         self.consumed = jax.device_put(
-            jnp.zeros((1, self.S), U64), scal_sh)
+            jnp.zeros((self.D, self.S), U64), scal_sh)
         self.fill = 0
+        self.survivors = 0
         self._merge_at = min(dfr.MIN_MERGE, self.cap)
         self.bigcount_candidates = set()
         self._track_bigcount = (spec.use_bigcount and spec.kind == "byte")
         self._pending = []
+        self._bc_pending = []
+        # owner-side ledger bag (allocated at finish)
+        self.ledger_k = None
+        self.ledger_w = None
+        self.ledger_cap = 0
+        self.ledger_fill = 0
+
+    @property
+    def n_dropped(self):
+        """Routing drops are structurally impossible in the deferred
+        design (overflow lanes stay local and drain until none)."""
+        return 0
 
     # -- streaming ---------------------------------------------------------
 
     def add_chunk(self, data, weights):
         """Queue one host chunk (<= [chunk] uint8 codes/bytes +
-        weights; short tail chunks are zero-padded); dispatches when S
-        chunks are pending."""
+        weights; short tail chunks are zero-padded); dispatches when
+        every device of this process has a pending chunk."""
+        from khmer_tpu.hashtable import _pack_chunk
+
         if data.shape[0] < self.chunk:
             pad = self.chunk - data.shape[0]
             data = np.concatenate([data, np.zeros(pad, np.uint8)])
             weights = np.concatenate(
                 [weights, np.zeros(pad, weights.dtype)])
-        self._pending.append((data, weights))
-        if len(self._pending) == self.S:
+        self._pending.append(_pack_chunk(
+            data, weights, from_ascii=not self.from_codes
+            and self.hash_kind != "2bit"))
+        if len(self._pending) == self._batch_rows:
             self._dispatch()
 
-    def _dispatch(self):
-        if not self._pending:
+    def add_packed(self, packed):
+        """Queue one already-packed chunk buffer (u8[3*chunk/8])."""
+        self._pending.append(packed)
+        if len(self._pending) == self._batch_rows:
+            self._dispatch()
+
+    def _dispatch(self, force=False):
+        """Send the pending chunk batch to the devices.  On
+        multi-process meshes every process MUST call this the same
+        number of times (pad with empty chunks via force=True)."""
+        if not self._pending and not force:
             return
-        while len(self._pending) < self.S:
-            self._pending.append(
-                (np.zeros(self.chunk, np.uint8),
-                 np.zeros(self.chunk, np.uint8)))
-        data = np.stack([d for d, _ in self._pending])[None]
-        mask = np.stack([m for _, m in self._pending])[None]
+        packed_len = self.chunk // 4 + self.chunk // 8
+        while len(self._pending) < self._batch_rows:
+            self._pending.append(np.zeros(packed_len, np.uint8))
+        stack = np.stack(self._pending)
         self._pending.clear()
         if self.fill + self.chunk_lanes > min(self._merge_at, self.cap):
             self._merge()
-        data = jax.device_put(np.asarray(data, np.uint8), self.lane_sh)
-        mask = jax.device_put(np.asarray(mask, np.uint8), self.lane_sh)
-        self.keys, self.wgts, self.consumed = self._append(
-            self.keys, self.wgts, jnp.int32(self.fill), self.consumed,
-            data, mask)
+        if self._multi:
+            packed = jax.make_array_from_process_local_data(
+                self.lane_sh, stack.reshape(1, self._n_local, packed_len))
+        else:
+            packed = jax.device_put(
+                stack.reshape(self.D, self.S, packed_len), self.lane_sh)
+        self.keys, self.consumed = self._append(
+            self.keys, jnp.int32(self.fill), self.consumed, packed)
         self.fill += self.chunk_lanes
 
     def _merge(self):
         from khmer_tpu.ops import deferred as dfr
 
-        if self.fill == 0:
+        if self.fill == 0 or self.fill == self.survivors:
             return
         bucket = min(max(dfr._next_pow2(self.fill), dfr.MIN_BUCKET),
                      self.cap)
-        step = self._merge_step
-        if bucket >= self.cap:
-            self.keys, self.wgts, nv = step(self.keys, self.wgts)
-        else:
-            mk, mw, nv = step(self.keys[:, :, :bucket],
-                              self.wgts[:, :, :bucket])
-            self.keys = lax.dynamic_update_slice(
-                self.keys, mk, (0, 0, 0))
-            self.wgts = lax.dynamic_update_slice(
-                self.wgts, mw, (0, 0, 0))
-        self.fill = int(np.max(np.asarray(nv)))
+        step = make_sharded_merge_step(self.mesh, self.survivors == 0,
+                                       bucket)
+        self.keys, self.wgts, nv = step(self.keys, self.wgts,
+                                        jnp.int32(self.survivors))
+        self.fill = int(np.asarray(self._max(nv)))
+        self.survivors = self.fill
         self._merge_at = min(max(dfr.MIN_MERGE, 2 * self.fill), self.cap)
 
     # -- flush -------------------------------------------------------------
 
-    def finish(self, base_table):
-        """Drain everything: local merge, routed flush of every lane
-        window, then reduce partials.  Returns (delta_table [bins+1],
-        n_unique_delta, n_consumed, bigcount_candidates)."""
+    def _ledger_room(self, need):
+        from khmer_tpu.ops import deferred as dfr
+
+        need = max(dfr._next_pow2(need), dfr.MIN_BUCKET)
+        if self.ledger_k is None or need > self.ledger_cap:
+            nk = jax.device_put(jnp.full((self.D, self.S, need),
+                                         dfr.SENTINEL, U64), self.lane_sh)
+            nw = jax.device_put(jnp.zeros((self.D, self.S, need), U32),
+                                self.lane_sh)
+            if self.ledger_k is not None:
+                grow = _make_grow_copy(self.mesh)
+                nk, nw = grow(self.ledger_k, nk, nw, self.ledger_w)
+            self.ledger_k, self.ledger_w = nk, nw
+            self.ledger_cap = need
+
+    def finish(self, base_table=None, virgin=None):
+        """Drain everything: final local merge, routed collect of every
+        lane window (+ overflow drain rounds), ONE owner-side combine
+        and ONE flush per partial table, then reduce.  Returns
+        (delta_table [bins+1], n_unique_delta, n_consumed,
+        bigcount_candidates).
+
+        `base_table` is the consuming Storage's pre-consume serial
+        table; pass virgin=True (or base_table=None) when it is known
+        all-zero — the flush then skips the premin gather entirely."""
         from khmer_tpu.ops import deferred as dfr
 
         self._dispatch()
         self._merge()
-        base = jax.device_put(base_table,
-                              NamedSharding(self.mesh, P()))
-        # bucketed window + matching all_to_all per-destination cap:
-        # tiny consumes route tiny buffers, bulk ones tile max_flush
-        F = min(max(dfr._next_pow2(self.fill), dfr.MIN_BUCKET),
-                self.max_flush)
-        cap_dest = max(64, 2 * (-(-F // self.S)))
-        update_step = make_routed_update_step(
-            self.spec, self.mesh, cap_dest, with_base=True)
-        for off in range(0, max(self.fill, 1), F):
-            keys = self.keys[:, :, off: off + F]
-            wgts = self.wgts[:, :, off: off + F]
+        if virgin is None:
+            virgin = base_table is None
+        n = self.fill
+        if n == 0:
+            delta = self._reduce(self.tables)
+            return delta, 0, int(np.asarray(self._sum(self.consumed))), \
+                self.bigcount_candidates
+        # -- routed collect: windows + drain rounds -------------------------
+        F = min(max(dfr._next_pow2(n), dfr.MIN_BUCKET), self.max_flush)
+        cap_dest = max(64, 2 * (-(-F // self.NS)))
+        block = self.NS * cap_dest
+        n_win = -(-n // F)
+        self._ledger_room(n_win * block + 2 * block)
+        first = make_routed_collect_step(self.mesh, F, cap_dest, True)
+        drain = make_routed_collect_step(self.mesh, F, cap_dest, False)
+        loff = 0
+        for off in range(0, n, F):
+            keys, wgts, step = self.keys, self.wgts, first
+            woff = jnp.int32(off)
             while True:
-                out = update_step(self.tables, self.uniq, keys,
-                                  wgts, base)
-                self.tables, self.uniq, keys, wgts, n_left = out[:5]
-                if self._track_bigcount:
-                    cand, n_cross = out[5], out[6]
-                    nc = np.asarray(n_cross).reshape(-1)
-                    ch = np.asarray(cand).reshape(self.S, -1)
-                    for s in range(self.S):
-                        if nc[s]:
-                            self.bigcount_candidates.update(
-                                int(x) for x in ch[s, : nc[s]])
-                if int(np.sum(np.asarray(n_left))) == 0:
+                self._ledger_room(loff + block)
+                out = step(self.ledger_k, self.ledger_w, keys, wgts,
+                           woff, jnp.int32(loff))
+                self.ledger_k, self.ledger_w, keys, wgts, n_left = out
+                step, woff = drain, jnp.int32(0)
+                loff += block
+                if int(np.asarray(self._sum(n_left))) == 0:
                     break
+        self.ledger_fill = loff
+        self.keys = None
+        self.wgts = None
+        # -- owner-side exact combine ---------------------------------------
+        bucket = min(max(dfr._next_pow2(self.ledger_fill),
+                         dfr.MIN_BUCKET), self.ledger_cap)
+        merge = make_sharded_merge_step(self.mesh, False, bucket)
+        ok, ow, nv = merge(self.ledger_k, self.ledger_w,
+                           jnp.int32(self.ledger_fill))
+        self.ledger_k = None
+        self.ledger_w = None
+        self.ledger_cap = 0
+        n_max = int(np.asarray(self._max(nv)))
+        # -- one flush per partial table -------------------------------------
+        Fw = min(max(dfr._next_pow2(max(n_max, 1)), dfr.MIN_BUCKET),
+                 self.max_flush, int(ok.shape[-1]))
+        flush = make_sharded_flush_step(self.spec, self.mesh, Fw,
+                                        bool(virgin), self._track_bigcount)
+        base_args = ()
+        if not virgin:
+            base_args = (jax.device_put(
+                base_table, NamedSharding(self.mesh, P())),)
+        for off in range(0, max(n_max, 1), Fw):
+            out = flush(self.tables, self.uniq, ok, ow,
+                        jnp.int32(off), *base_args)
+            self.tables, self.uniq = out[0], out[1]
+            if self._track_bigcount:
+                self._bc_pending.append((out[2], out[3]))
+        for cand, n_cross in self._bc_pending:
+            nc = np.asarray(n_cross).reshape(self.NS)
+            ch = np.asarray(cand).reshape(self.NS, -1)
+            for s in range(self.NS):
+                if nc[s]:
+                    self.bigcount_candidates.update(
+                        int(x) for x in ch[s, : nc[s]])
+        self._bc_pending = []
         delta = self._reduce(self.tables)
-        n_unique = int(np.sum(np.asarray(self.uniq)))
-        n_consumed = int(np.sum(np.asarray(self.consumed)))
+        n_unique = int(np.asarray(self._sum(self.uniq)))
+        n_consumed = int(np.asarray(self._sum(self.consumed)))
         return delta, n_unique, n_consumed, self.bigcount_candidates

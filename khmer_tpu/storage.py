@@ -56,6 +56,10 @@ class Storage:
             use_bigcount=self.supports_bigcount,
         )
         self.table = alloc_table(self.spec)
+        # virgin = table known all-zero: bulk flushes skip the premin
+        # gather entirely (every distinct key is new) — the fast path
+        # for load-into-counting-style fresh-table consumes
+        self._virgin = True
         self._n_unique = jnp.zeros((), U64)
         # hashes that may exceed 255 (superset; resolved at save time)
         self.bigcount_candidates = set()
@@ -80,6 +84,14 @@ class Storage:
 
     def n_unique_kmers(self):
         return int(self._n_unique)
+
+    def is_virgin(self):
+        """True while the table is known to be all-zero (nothing has
+        been added or loaded since construction)."""
+        return self._virgin
+
+    def mark_dirty(self):
+        self._virgin = False
 
     # -- bigcount ---------------------------------------------------------
 
@@ -177,6 +189,7 @@ class Storage:
             self.spec, self.table, jnp.zeros((), U64), self._n_unique,
             jax.device_put(hashes), jax.device_put(weights))
         self._loaded_occupied = None
+        self._virgin = False
         self._track_bigcount_aux(aux, hashes=hashes[:n])
         self._mirror_host_add(hashes[:n], weights[:n])
         return (aux["premin"] == 0)[:n]
@@ -201,6 +214,7 @@ class Storage:
         self.table = table
         self._n_unique = n_unique
         self._loaded_occupied = None
+        self._virgin = False
         self._track_bigcount_aux(aux)
 
     def add(self, khash):
@@ -301,6 +315,7 @@ class Storage:
         self.table = unpack_oxli_bytes(self.spec, data)
         self._n_unique = jnp.zeros((), U64)
         self._loaded_occupied = int(n_occupied)
+        self._virgin = False
         self.bigcount_candidates = set()
 
 
@@ -316,6 +331,7 @@ class BitStorage(Storage):
             raise ValueError("both nodegraphs must have same table sizes")
         self.table = jnp.maximum(self.table, other.table)
         self._loaded_occupied = None
+        self._virgin = False
         # update_from does not adjust n_unique (reference behavior)
 
 

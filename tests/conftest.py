@@ -26,6 +26,21 @@ REF_TEST_DATA = os.path.join(REFERENCE_DIR, "tests", "test-data")
 REF_DATA = os.path.join(REFERENCE_DIR, "data")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default-deselect known_failing/huge/jenkins — the reference's
+    pytest.ini behavior (reference pytest.ini:1-7)."""
+    skip_kf = pytest.mark.skip(reason="known_failing (deselected by "
+                                      "default, reference pytest.ini)")
+    skip_huge = pytest.mark.skip(reason="huge (deselected by default)")
+    for item in items:
+        if "known_failing" in item.keywords:
+            item.add_marker(skip_kf)
+        if "huge" in item.keywords:
+            item.add_marker(skip_huge)
+        if "jenkins" in item.keywords:
+            item.add_marker(pytest.mark.skip(reason="jenkins-only"))
+
+
 @pytest.fixture
 def ref_test_data():
     if not os.path.isdir(REF_TEST_DATA):

@@ -14,7 +14,12 @@ SANDBOX_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sandbox")
 
 
-def scriptpath(name):
+def scriptpath(name=None):
+    """Path of a script (searching scripts/ then sandbox/); with no
+    argument, the scripts/ directory itself (reference
+    khmer_tst_utils.scriptpath default behavior)."""
+    if name is None:
+        return SCRIPTS_DIR
     for d in (SCRIPTS_DIR, SANDBOX_DIR):
         p = os.path.join(d, name)
         if os.path.exists(p):
@@ -50,16 +55,90 @@ def get_temp_filename(name, tempdir=None):
     return os.path.join(d, name)
 
 
-def copy_test_data(name):
+def copy_test_data(name, newname=None):
     import shutil
 
-    dst = get_temp_filename(name)
+    dst = get_temp_filename(newname if newname is not None else name)
     shutil.copy(get_test_data(name), dst)
     return dst
 
 
 def longify(values):
     return list(values)
+
+
+def screed_open(path):
+    """screed.open stand-in: iterate records with .name/.sequence/
+    .quality attributes from any fasta/fastq(.gz/.bz2) file."""
+    from khmer_tpu.io.fastx import FastxReader
+
+    return FastxReader(path)
+
+
+def _revcomp(seq):
+    from khmer_tpu import reverse_complement
+
+    return reverse_complement(seq)
+
+
+def _equals_rc(query, match):
+    """True if query equals match directly or reverse-complemented
+    (parity: reference tests/khmer_tst_utils.py:59)."""
+    return (query == match) or (_revcomp(query) == match)
+
+
+def _contains_rc(match, query):
+    """True if query (either orientation) is a substring of match
+    (parity: reference tests/khmer_tst_utils.py:63)."""
+    return (query in match) or (_revcomp(query) in match)
+
+
+def _calc_md5(fp):
+    from hashlib import md5
+
+    m = md5()
+    m.update(fp.read().encode("utf-8") if hasattr(fp, "read") else fp)
+    return m.hexdigest()
+
+
+def _calc_md5_path(path):
+    from hashlib import md5
+
+    with open(path, "rb") as fp:
+        return md5(fp.read()).hexdigest()
+
+
+def run_shell_cmd(cmd, fail_ok=False, in_directory=None):
+    """Run a real shell pipeline (parity: reference
+    tests/khmer_tst_utils.py:208) — used by the streaming-io tests to
+    exercise stdin/stdout/pipe semantics that the in-process runner
+    cannot.  Scripts are resolved via the SCRIPTS/SANDBOX dirs placed
+    on PATH, run by the current interpreter."""
+    import subprocess
+
+    cwd = os.getcwd()
+    if in_directory:
+        os.chdir(in_directory)
+    env = dict(os.environ)
+    env["PATH"] = SCRIPTS_DIR + os.pathsep + SANDBOX_DIR + \
+        os.pathsep + env.get("PATH", "")
+    env.setdefault("KHMER_TPU_PLATFORM", env.get("KHMER_TPU_PLATFORM",
+                                                 "cpu"))
+    try:
+        proc = subprocess.Popen(cmd, shell=True, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, env=env,
+                                executable="/bin/bash")
+        out, err = proc.communicate()
+        out = out.decode("utf-8", "replace")
+        err = err.decode("utf-8", "replace")
+        if proc.returncode != 0 and not fail_ok:
+            print("out:", out)
+            print("err:", err)
+            raise AssertionError("exit code %d from: %s" %
+                                 (proc.returncode, cmd))
+        return proc.returncode, out, err
+    finally:
+        os.chdir(cwd)
 
 
 def cleanup():

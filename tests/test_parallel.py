@@ -7,11 +7,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from khmer_tpu.ops.hashing import kmer_hashes_2bit, _fmix64_v
+from khmer_tpu.ops.hashing import kmer_hashes_2bit
 from khmer_tpu.ops.sketch_ops import (SketchSpec, alloc_table, sketch_get,
                                       sketch_update)
-from khmer_tpu.parallel.sharded import (ShardedCountConsumer, band_owner,
-                                        make_mesh, merge_tables_saturating)
+from khmer_tpu.parallel.sharded import (ShardedDeferredConsumer, band_owner,
+                                        make_mesh, make_sharded_query,
+                                        merge_tables_saturating)
 from khmer_tpu.primes import get_n_primes_near_x
 
 pytestmark = pytest.mark.multichip
@@ -27,25 +28,34 @@ def _need_devices(n):
 
 def _consume_both(mesh, D, S, seed=1):
     spec = SketchSpec("byte", tuple(get_n_primes_near_x(3, 10_000)), True)
-    consumer = ShardedCountConsumer(spec, K, "2bit", mesh=mesh, chunk=CHUNK)
+    consumer = ShardedDeferredConsumer(spec, K, "2bit", mesh=mesh,
+                                       chunk=CHUNK, from_codes=True)
     rng = np.random.default_rng(seed)
     data = rng.integers(0, 4, (D, S, CHUNK), dtype=np.uint8)
-    weights = np.ones((D, S, CHUNK), np.uint32)
+    weights = np.ones((D, S, CHUNK), np.uint8)
     weights[..., CHUNK - K + 1:] = 0
-    consumer.consume_chunks(data, weights)
+    for d in range(D):
+        for s in range(S):
+            consumer.add_chunk(data[d, s], weights[d, s])
+    delta, n_unique, n_consumed, _ = consumer.finish(virgin=True)
 
     # serial reference
     table = alloc_table(spec)
     z = jnp.zeros((), jnp.uint64)
+    all_h = []
     for d in range(D):
         for s in range(S):
             h, _ = kmer_hashes_2bit(
                 jnp.asarray(data[d, s][None, :]),
                 jnp.asarray([CHUNK], jnp.int32), K)
+            hs = h[0][: CHUNK - K + 1]
+            all_h.append(np.asarray(hs))
             table, _, _, _ = sketch_update(
-                spec, table, z, z, h[0][: CHUNK - K + 1],
+                spec, table, z, z, hs,
                 jnp.ones(CHUNK - K + 1, jnp.uint32))
-    return spec, consumer, data, np.asarray(table)
+    truth = len(np.unique(np.concatenate(all_h)))
+    return (spec, consumer, data, np.asarray(table), delta, n_unique,
+            n_consumed, truth)
 
 
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2)])
@@ -53,20 +63,25 @@ def test_sharded_consume_serial_equivalence(shape):
     D, S = shape
     _need_devices(D * S)
     mesh = make_mesh(jax.devices()[: D * S], data=D)
-    spec, consumer, data, serial_table = _consume_both(mesh, D, S)
+    (spec, consumer, data, serial_table, delta, n_unique, n_consumed,
+     truth) = _consume_both(mesh, D, S)
 
     assert consumer.n_dropped == 0
-    merged = consumer.merged_table()
-    assert np.array_equal(merged, serial_table)
+    assert n_consumed == D * S * (CHUNK - K + 1)
+    # virgin-table n_unique is the exact distinct count
+    assert n_unique == truth
+    assert np.array_equal(np.asarray(delta), serial_table)
 
     # query path: psum-before-min must equal serial reads
     h, _ = kmer_hashes_2bit(
         jnp.asarray(data[0, 0][None, :]), jnp.asarray([CHUNK], jnp.int32),
         K)
     hashes = np.asarray(h[0][:100])
-    sharded_counts = consumer.get_counts(hashes)
+    query = make_sharded_query(spec, mesh)
+    sharded_counts = np.asarray(query(consumer.tables,
+                                      jnp.asarray(hashes)))
     serial_counts = np.asarray(sketch_get(
-        spec, jnp.asarray(np.concatenate([serial_table])), hashes))
+        spec, jnp.asarray(serial_table), jnp.asarray(hashes)))
     assert np.array_equal(sharded_counts, serial_counts)
     assert sharded_counts.min() >= 1
 
@@ -115,7 +130,7 @@ def test_merge_is_plain_sum():
 
 
 # ---------------------------------------------------------------------------
-# Round 2: deferred sharded consume through the USER-FACING pipeline API
+# The deferred sharded consume through the USER-FACING pipeline API
 # ---------------------------------------------------------------------------
 
 
@@ -205,47 +220,63 @@ def test_consume_seqfile_sharded_nodegraph(tmpdir, monkeypatch):
     assert serial.n_unique_kmers() == sharded.n_unique_kmers()
 
 
-def test_sharded_n_unique_deviation_is_bounded(tmpdir):
-    """Pin the documented deviation: ShardedCountConsumer's per-band
-    unique sums can only EXCEED the serial single-table estimate
-    (cross-band FP suppression), and on realistic data the excess is
-    tiny (VERDICT round-2 #9).  The deferred consumer used by
-    consume_seqfile is exact (asserted above); this covers the
-    streaming all_to_all consumer."""
+def test_sharded_n_unique_serial_exact_under_saturation(tmpdir,
+                                                        monkeypatch):
+    """Round-2's VERDICT #4: the n_unique estimator must not depend on
+    the device count, even when the table saturates (heavy bin
+    collisions).  Both the serial and sharded deferred paths now count
+    distinct consumed hashes against the PRE-CONSUME table, so they
+    agree bit-for-bit — on a fresh table, both equal the true distinct
+    count."""
     _need_devices(2)
     from khmer_tpu.graph import Countgraph
-    from khmer_tpu.hashtable import _chunk_hashes_weights
-    from khmer_tpu.ops.sketch_ops import SketchSpec
-    from khmer_tpu.parallel.sharded import ShardedCountConsumer, make_mesh
 
-    rng = np.random.default_rng(5)
-    chunk = 4096
-    mesh = make_mesh(jax.devices()[:8], data=1)
-    spec = SketchSpec("byte", (9973, 9967, 9949), False)
-    c = ShardedCountConsumer(spec, K, "2bit", mesh=mesh, chunk=chunk)
-    data = rng.integers(0, 4, (1, 8, chunk), dtype=np.uint8)
-    weights = np.ones((1, 8, chunk), np.uint32)
-    weights[..., chunk - K + 1:] = 0
-    c.consume_chunks(data, weights)
+    infile = str(tmpdir.join("sat.fa"))
+    # ~36k distinct k-mers into 3 x ~1000-bin tables: heavily saturated
+    reads = _random_reads(400, 110, seed=5)
+    _write_fasta(infile, reads)
 
-    serial = Countgraph(K, primes=[9973, 9967, 9949])
-    all_hashes = []
-    for s in range(8):
-        h, w = _chunk_hashes_weights(
-            jnp.asarray(data[0, s]), jnp.asarray(weights[0, s]),
-            K, "2bit", 1 << 12)
-        hs = np.asarray(h)[np.asarray(w) > 0]
-        all_hashes.append(hs)
-        serial.storage.add_batch(hs)
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "0")
+    serial = Countgraph(K, primes=[1009, 1013, 1019])
+    serial.consume_seqfile(infile)
 
-    truth = len(np.unique(np.concatenate(all_hashes)))
-    est_serial = serial.n_unique_kmers()
-    est_sharded = c.n_unique_kmers()
-    # both estimators undercount truth via CMS false positives; the
-    # sharded one has S x the effective table capacity per band, so it
-    # is always the closer (larger) estimate
-    assert est_serial <= est_sharded <= truth
-    assert est_sharded >= 0.95 * truth
+    monkeypatch.setenv("KHMER_TPU_SHARDED", "1")
+    sharded = Countgraph(K, primes=[1009, 1013, 1019])
+    sharded.consume_seqfile(infile)
+
+    # exact truth: distinct canonical k-mer hashes of the read set
+    hashes = [np.asarray(serial.get_kmer_hashes(r), np.uint64)
+              for r in reads]
+    truth = len(np.unique(np.concatenate(hashes)))
+
+    assert serial.n_unique_kmers() == truth
+    assert sharded.n_unique_kmers() == truth
+    assert np.array_equal(np.asarray(serial.storage.table),
+                          np.asarray(sharded.storage.table))
+
+
+def test_preloaded_table_n_unique_matches_serial(tmpdir, monkeypatch):
+    """Non-virgin consume: the premin gather against the pre-consume
+    base must give the same n_unique on serial and sharded paths."""
+    _need_devices(2)
+    from khmer_tpu.graph import Countgraph
+
+    pre = str(tmpdir.join("pre.fa"))
+    infile = str(tmpdir.join("reads.fa"))
+    _write_fasta(pre, _random_reads(50, 80, seed=21))
+    _write_fasta(infile, _random_reads(200, 90, seed=22))
+
+    results = []
+    for mode in ("0", "1"):
+        monkeypatch.setenv("KHMER_TPU_SHARDED", "0")
+        g = Countgraph(K, 9973, 3)
+        g.consume_seqfile(pre)  # same serial preload for both
+        monkeypatch.setenv("KHMER_TPU_SHARDED", mode)
+        g.consume_seqfile(infile)
+        results.append((g.n_unique_kmers(),
+                        np.asarray(g.storage.table)))
+    assert results[0][0] == results[1][0]
+    assert np.array_equal(results[0][1], results[1][1])
 
 
 def test_bin_sharded_graph_layer_parity(tmpdir):
