@@ -18,6 +18,7 @@ batch into the sketch — replacing the reference's per-k-mer hot loop
 """
 
 import math
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -908,14 +909,9 @@ class Hashtable:
     def _can_use_native(parser_or_filename):
         if not isinstance(parser_or_filename, str):
             return False
-        if parser_or_filename in ("-", "/dev/stdin"):
-            return False
-        try:
-            with open(parser_or_filename, "rb") as f:
-                if f.read(3) == b"BZh":  # no native bzip2 path
-                    return False
-        except OSError:
-            return False
+        if parser_or_filename not in ("-", "/dev/stdin") and \
+                not os.path.exists(parser_or_filename):
+            return False  # python path raises the pretty ENOENT error
         from khmer_tpu.native import native_available
 
         return native_available()

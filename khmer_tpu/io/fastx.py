@@ -92,17 +92,14 @@ class Read:
         write_record(self, fileobj)
 
 
-def _open_stream(filename):
-    """Open a (possibly compressed) sequence file for text reading."""
-    if filename in ("-", "/dev/stdin"):
-        return sys.stdin.buffer
-    if hasattr(filename, "read"):
-        return filename
-    if not os.path.exists(filename):
-        raise OSError("file '{}' does not exist".format(filename))
-    f = open(filename, "rb")
-    magic = f.read(3)
-    f.seek(0)
+def _sniff_decompress(f, filename):
+    """Wrap a binary stream in a gzip/bzip2 decompressor when its
+    magic bytes say so — via peek(), never seek(), so pipes, FIFOs,
+    and stdin stream transparently (the reference decompresses any
+    stream through SeqAn the same way, read_parsers.cc:336-361)."""
+    if not hasattr(f, "peek"):
+        f = io.BufferedReader(f)
+    magic = f.peek(3)[:3]
     if magic[:2] == b"\x1f\x8b":
         return gzip.open(f, "rb")
     if magic == b"BZh":
@@ -114,6 +111,22 @@ def _open_stream(filename):
         raise OSError(
             "empty or corrupt compressed file {!r}".format(filename))
     return f
+
+
+def _open_stream(filename):
+    """Open a (possibly compressed) sequence file for text reading."""
+    if filename in ("-", "/dev/stdin"):
+        return _sniff_decompress(sys.stdin.buffer, None)
+    if hasattr(filename, "read"):
+        return _sniff_decompress(filename, None)
+    if not os.path.exists(filename):
+        # str(err) must read "[Errno 2] No such file or directory:
+        # '<path>'" — script error goldens quote it (reference screed
+        # raises the same)
+        import errno
+
+        raise OSError(errno.ENOENT, os.strerror(errno.ENOENT), filename)
+    return _sniff_decompress(open(filename, "rb"), filename)
 
 
 def sniff_filetype(filename):
@@ -144,10 +157,19 @@ class FastxReader:
     PAIR_MODE_IGNORE_UNPAIRED = 0
     PAIR_MODE_ERROR_ON_UNPAIRED = 1
 
-    def __init__(self, filename):
+    def __init__(self, filename, raise_on_empty=True,
+                 strict_fastq=False):
         import threading
 
         self.filename = filename
+        # screed validates quality length == sequence length; the C++
+        # ReadParser (SeqAn) does not (valid-read-testing.fq carries a
+        # benign off-by-one that ReadParser-path tests rely on)
+        self.strict_fastq = bool(strict_fastq)
+        # the reference's C++ ReadParser raises on sequence-free input
+        # (read_parsers.cc:258); its screed-based script paths do not.
+        # screed_open() below yields no records instead.
+        self.raise_on_empty = bool(raise_on_empty)
         self._stream = _open_stream(filename)
         self.num_reads = 0
         self._lock = threading.Lock()
@@ -189,6 +211,8 @@ class FastxReader:
                 first = self._readline()
             if not first:
                 self._done = True
+                if not self.raise_on_empty:
+                    return None
                 # reference ReadParser raises on sequence-free input
                 # (read_parsers.cc:258)
                 raise OSError("{} does not contain any "
@@ -252,9 +276,14 @@ class FastxReader:
                     self.filename))
         qual = self._readline().strip()
         # NOTE: a quality string whose length differs from the
-        # sequence is passed through unchanged — the reference's
-        # SeqAn readRecord does not enforce equality and its own
-        # test data (valid-read-testing.fq) relies on that
+        # sequence is passed through unchanged by default — the
+        # reference's SeqAn readRecord does not enforce equality and
+        # its own test data (valid-read-testing.fq) relies on that.
+        # The screed-role reader (screed_open) validates, like screed.
+        if self.strict_fastq and len(qual) != len(seq):
+            raise ValueError(
+                "quality scores length does not match sequence length "
+                "in {!r} record {!r}".format(self.filename, name))
         self.num_reads += 1
         return Read(name=name, sequence=seq.decode(),
                     quality=qual.decode())
@@ -319,3 +348,12 @@ def write_record(record, fileobj):
 def write_record_pair(read1, read2, fileobj):
     write_record(read1, fileobj)
     write_record(read2, fileobj)
+
+
+def screed_open(filename):
+    """screed.open stand-in for the script layer: same record stream
+    as FastxReader but yields NOTHING on empty input instead of
+    raising (reference scripts using screed tolerate empty files;
+    those using ReadParser do not)."""
+    return FastxReader(filename, raise_on_empty=False,
+                       strict_fastq=True)

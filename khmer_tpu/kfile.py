@@ -78,9 +78,10 @@ def check_space(in_files, force, _testhook_free_space=None):
         if force:
             print("WARNING:", message, file=sys.stderr)
         else:
-            raise SystemExit(
-                "ERROR: " + message +
-                "\nNOTE: This can be overridden using the --force argument")
+            print("ERROR: " + message, file=sys.stderr)
+            print("NOTE: This can be overridden using the --force"
+                  " argument", file=sys.stderr)
+            sys.exit(1)
 
 
 def check_space_for_graph(outfile_name, hash_size, force,
@@ -98,9 +99,10 @@ def check_space_for_graph(outfile_name, hash_size, force,
         if force:
             print("WARNING:", message, file=sys.stderr)
         else:
-            raise SystemExit(
-                "ERROR: " + message +
-                "\nNOTE: This can be overridden using the --force argument")
+            print("ERROR: " + message, file=sys.stderr)
+            print("NOTE: This can be overridden using the --force"
+                  " argument", file=sys.stderr)
+            sys.exit(1)
 
 
 def check_valid_file_exists(in_files):

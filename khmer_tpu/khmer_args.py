@@ -104,11 +104,34 @@ class KhmerArgumentParser(argparse.ArgumentParser):
         return args
 
 
+class _FakeStdoutBytes:
+    """Binary shim over a faked (StringIO) sys.stdout — the in-process
+    test runner swaps stdout, and 'wb'-mode FileType('-') must still
+    write through to it (reference khmer_args.py:160-173 detects the
+    fake the same way)."""
+
+    name = '/dev/stdout'
+
+    def write(self, data):
+        if isinstance(data, bytes):
+            data = data.decode('utf-8', 'replace')
+        sys.stdout.write(data)
+        return len(data)
+
+    def flush(self):
+        sys.stdout.flush()
+
+    def close(self):
+        pass
+
+
 class FileType(argparse.FileType):
     """argparse.FileType honoring '-' as raw stdin/stdout fd."""
 
     def __call__(self, fname):
-        if (fname == '-' and not isinstance(sys.stdout, StringIO)):
+        if fname == '-':
+            if isinstance(sys.stdout, StringIO) and 'w' in self._mode:
+                return _FakeStdoutBytes()
             if 'r' in self._mode:
                 fname = sys.stdin.fileno()
             elif 'w' in self._mode:

@@ -31,7 +31,7 @@ def _build():
 
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
            _SRC_RA, '-DKHMER_TPU_VERSION="%s"' % __version__,
-           "-lz", "-o", _SO + ".tmp"]
+           "-lz", "-l:libbz2.so.1", "-o", _SO + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
 

@@ -2,7 +2,7 @@
 //
 // The TPU-native equivalent of the reference's C++ read-parsing layer
 // (src/oxli/read_parsers.cc:336-398, SeqAn FastxReader): parses
-// FASTA/FASTQ (plain or gzip), cleans reads (uppercase, non-ACGT -> A,
+// FASTA/FASTQ (plain, gzip, or bzip2; file, pipe, or stdin), cleans reads (uppercase, non-ACGT -> A,
 // reference include/oxli/read_parsers.hh:122-138), 2-bit encodes them
 // (A=0 T=1 C=2 G=3, include/oxli/kmer_hash.hh:70-77), and packs the
 // code stream into fixed-size device chunks with per-window validity
@@ -12,20 +12,188 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC fastx_loader.cc -lz -o libkhmer_io.so
+// Build: g++ -O3 -std=c++17 -shared -fPIC fastx_loader.cc -lz \
+//            -l:libbz2.so.1 -o libkhmer_io.so
 
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
 #include <vector>
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <zlib.h>
+
+// libbz2 ships in this image without its header; the streaming ABI is
+// stable, declare just what the decompressor needs (bzlib.h layout).
+extern "C" {
+typedef struct {
+    char* next_in;
+    unsigned int avail_in;
+    unsigned int total_in_lo32;
+    unsigned int total_in_hi32;
+    char* next_out;
+    unsigned int avail_out;
+    unsigned int total_out_lo32;
+    unsigned int total_out_hi32;
+    void* state;
+    void* (*bzalloc)(void*, int, int);
+    void (*bzfree)(void*, void*);
+    void* opaque;
+} kio_bz_stream;
+int BZ2_bzDecompressInit(kio_bz_stream*, int verbosity, int small);
+int BZ2_bzDecompress(kio_bz_stream*);
+int BZ2_bzDecompressEnd(kio_bz_stream*);
+}
+#define KIO_BZ_OK 0
+#define KIO_BZ_STREAM_END 4
 
 namespace {
 
+// Unified byte source: raw fd (regular file, pipe, or stdin) with
+// magic-sniffed gzip/bzip2 decompression — the reference parses all
+// of FASTA/FASTQ+gz+bz2 and stdin through one SeqAn stream the same
+// way (src/oxli/read_parsers.cc:336-361).
+struct Source {
+    int fd = -1;
+    bool own_fd = false;
+    enum Mode { PLAIN, GZIP, BZIP2 } mode = PLAIN;
+    z_stream zs;
+    bool z_init = false;
+    kio_bz_stream bz;
+    bool bz_init = false;
+    std::vector<unsigned char> in;
+    size_t in_pos = 0, in_len = 0;
+    bool raw_eof = false;
+    bool stream_end = false;
+    int err = 0;
+
+    ~Source() { close_all(); }
+
+    void close_all() {
+        if (z_init) { inflateEnd(&zs); z_init = false; }
+        if (bz_init) { BZ2_bzDecompressEnd(&bz); bz_init = false; }
+        if (fd >= 0 && own_fd) { ::close(fd); }
+        fd = -1;
+    }
+
+    bool fill_raw() {
+        if (raw_eof) return false;
+        if (in.empty()) in.resize(1 << 20);
+        ssize_t n;
+        do {
+            n = ::read(fd, in.data(), in.size());
+        } while (n < 0 && errno == EINTR);
+        if (n <= 0) { raw_eof = true; return false; }
+        in_len = (size_t)n;
+        in_pos = 0;
+        return true;
+    }
+
+    bool open_path(const char* path) {
+        if (strcmp(path, "-") == 0 || strcmp(path, "/dev/stdin") == 0) {
+            fd = 0;
+            own_fd = false;
+        } else {
+            fd = ::open(path, O_RDONLY);
+            if (fd < 0) return false;
+            own_fd = true;
+        }
+        fill_raw();
+        const unsigned char* m = in.data();
+        size_t n = in_len;
+        if (n >= 2 && m[0] == 0x1f && m[1] == 0x8b) {
+            mode = GZIP;
+            memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;
+            z_init = true;
+        } else if (n >= 3 && m[0] == 'B' && m[1] == 'Z' && m[2] == 'h') {
+            mode = BZIP2;
+            memset(&bz, 0, sizeof(bz));
+            if (BZ2_bzDecompressInit(&bz, 0, 0) != KIO_BZ_OK)
+                return false;
+            bz_init = true;
+        } else {
+            mode = PLAIN;
+        }
+        return true;
+    }
+
+    // decompressed read; returns bytes produced, 0 at EOF, -1 on error
+    long read_bytes(char* out, size_t want) {
+        if (mode == PLAIN) {
+            size_t got = 0;
+            while (got < want) {
+                if (in_pos >= in_len && !fill_raw()) break;
+                size_t n = in_len - in_pos;
+                if (n > want - got) n = want - got;
+                memcpy(out + got, in.data() + in_pos, n);
+                in_pos += n;
+                got += n;
+            }
+            return (long)got;
+        }
+        size_t got = 0;
+        while (got < want) {
+            if (in_pos >= in_len && !raw_eof) fill_raw();
+            bool have_in = in_pos < in_len;
+            if (!have_in && stream_end) break;
+            if (mode == GZIP) {
+                zs.next_in = in.data() + in_pos;
+                zs.avail_in = (unsigned)(in_len - in_pos);
+                zs.next_out = (unsigned char*)(out + got);
+                zs.avail_out = (unsigned)(want - got);
+                int rc = inflate(&zs, Z_NO_FLUSH);
+                in_pos = in_len - zs.avail_in;
+                got = want - zs.avail_out;
+                if (rc == Z_STREAM_END) {
+                    // concatenated members (bgzf etc.): restart
+                    if (in_pos < in_len || fill_raw()) {
+                        inflateReset2(&zs, 15 + 32);
+                    } else {
+                        stream_end = true;
+                        break;
+                    }
+                } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+                    err = 1;
+                    return -1;
+                } else if (!have_in && raw_eof) {
+                    break;  // truncated input: return what we have
+                }
+            } else {  // BZIP2
+                bz.next_in = (char*)in.data() + in_pos;
+                bz.avail_in = (unsigned)(in_len - in_pos);
+                bz.next_out = out + got;
+                bz.avail_out = (unsigned)(want - got);
+                int rc = BZ2_bzDecompress(&bz);
+                in_pos = in_len - bz.avail_in;
+                got = want - bz.avail_out;
+                if (rc == KIO_BZ_STREAM_END) {
+                    if (in_pos < in_len || fill_raw()) {
+                        BZ2_bzDecompressEnd(&bz);
+                        memset(&bz, 0, sizeof(bz));
+                        BZ2_bzDecompressInit(&bz, 0, 0);
+                    } else {
+                        stream_end = true;
+                        break;
+                    }
+                } else if (rc != KIO_BZ_OK) {
+                    err = 1;
+                    return -1;
+                } else if (!have_in && raw_eof) {
+                    break;
+                }
+            }
+        }
+        return (long)got;
+    }
+};
+
 struct Loader {
-    gzFile fp = nullptr;          // zlib reads plain files transparently
+    Source src;
     int k = 0;
     long chunk = 0;
 
@@ -81,8 +249,9 @@ bool next_line(Loader* L, std::string& out) {
         if (L->buf_pos >= L->buf_len) {
             if (L->eof) break;
             if (L->buf.empty()) L->buf.resize(1 << 20);
-            int n = gzread(L->fp, L->buf.data(), (unsigned)L->buf.size());
-            if (n <= 0) { L->eof = true; break; }
+            long n = L->src.read_bytes(L->buf.data(), L->buf.size());
+            if (n < 0) { L->err = 1; L->eof = true; break; }
+            if (n == 0) { L->eof = true; break; }
             L->buf_len = (size_t)n;
             L->buf_pos = 0;
         }
@@ -164,9 +333,7 @@ void* kio_open(const char* path, int k, long chunk) {
     Loader* L = new Loader();
     L->k = k;
     L->chunk = chunk;
-    L->fp = gzopen(path, "rb");
-    if (!L->fp) { delete L; return nullptr; }
-    gzbuffer(L->fp, 1 << 20);
+    if (!L->src.open_path(path)) { delete L; return nullptr; }
     return L;
 }
 
@@ -233,7 +400,7 @@ void kio_stats(void* handle, uint64_t* n_reads, uint64_t* n_consumed,
 
 void kio_close(void* handle) {
     Loader* L = (Loader*)handle;
-    if (L->fp) gzclose(L->fp);
+    L->src.close_all();
     delete L;
 }
 

@@ -22,7 +22,7 @@ import sys
 import textwrap
 
 from khmer_tpu import Countgraph
-from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.io.fastx import FastxReader, screed_open
 from khmer_tpu.kfile import check_input_files, check_space
 from khmer_tpu.khmer_args import KhmerArgumentParser, sanitize_help
 
@@ -72,7 +72,7 @@ def main():
     print('loading k-mer countgraph from', htfile, file=sys.stderr)
     countgraph = Countgraph.load(htfile)
     ksize = countgraph.ksize()
-    print('writing to', output.name, file=sys.stderr)
+    print('writing to', getattr(output, 'name', '-'), file=sys.stderr)
 
     output = csv.writer(output)
     output.writerow(['name', 'median', 'average', 'stddev', 'seqlen'])
@@ -81,16 +81,29 @@ def main():
 
     def flush(batch):
         rows = countgraph._hash_count_rows([s for _, s in batch])
-        for (name, seq), (_, counts) in zip(batch, rows):
-            counts = np.asarray(counts, np.float64)
-            ave = float(counts.mean())
-            stdev = float(np.sqrt(((counts - ave) ** 2).mean()))
-            medn = int(np.sort(counts)[counts.size // 2])
-            ave, stdev = [round(x, 9) for x in (ave, stdev)]
+        for (name, seq), (hashes, counts) in zip(batch, rows):
+            # counts read saturated at MAX_KCOUNT; a graph loaded with
+            # a bigcount section overlays the exact >255 values
+            # (reference CountingHash::get_count + bigcount map)
+            counts = countgraph.storage._overlay_bigcounts(
+                np.asarray(counts), np.asarray(hashes))
+            # float32 SEQUENTIAL accumulation replicates the C++
+            # get_median_count arithmetic bit-for-bit (float average/
+            # stddev, reference src/oxli/hashtable.cc:307-339) —
+            # cumsum is the sequential sum, f64 pairwise sums differ
+            # in the 7th decimal of the goldens
+            c32 = counts.astype(np.float32)
+            n = np.float32(c32.size)
+            ave = np.cumsum(c32, dtype=np.float32)[-1] / n
+            var = np.cumsum((c32 - ave) ** 2,
+                            dtype=np.float32)[-1] / n
+            stdev = np.sqrt(var, dtype=np.float32)
+            medn = int(np.sort(c32)[c32.size // 2])
+            ave, stdev = [round(float(x), 9) for x in (ave, stdev)]
             output.writerow([name, medn, ave, stdev, len(seq)])
 
     batch = []
-    for record in FastxReader(input_filename):
+    for record in screed_open(input_filename):
         seq = record.sequence.upper()
         if 'N' in seq:
             seq = seq.replace('N', 'A')

@@ -15,7 +15,7 @@ CLI/outputs).
 import sys
 import textwrap
 
-from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.io.fastx import FastxReader, screed_open
 from khmer_tpu.khmer_args import (FileType as khFileType,
                                   KhmerArgumentParser, sanitize_help)
 from khmer_tpu.kfile import add_output_compression_type, get_file_writer
@@ -48,7 +48,7 @@ def main():
     args = sanitize_help(get_parser()).parse_args()
     outfp = get_file_writer(args.output, args.gzip, args.bzip)
     for filename in args.input_filenames:
-        for record in FastxReader(filename):
+        for record in screed_open(filename):
             if len(record.sequence) >= args.length:
                 write_record(record, outfp)
     print('wrote to: ' + str(getattr(args.output, 'name', 'stdout')),

@@ -19,7 +19,7 @@ CLI/outputs).
 import sys
 import textwrap
 
-from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.io.fastx import FastxReader, screed_open
 from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
                              check_space, get_file_writer)
 from khmer_tpu.khmer_args import KhmerArgumentParser, sanitize_help
@@ -66,7 +66,7 @@ def get_parser():
 
 def partitioned_reads(filenames):
     for filename in filenames:
-        for read in FastxReader(filename):
+        for read in screed_open(filename):
             _, pid = read.name.rsplit('\t', 1)
             yield read, int(pid)
 
@@ -97,11 +97,16 @@ def main():
           file=sys.stderr)
     print('---', file=sys.stderr)
 
-    # sniff format from the first read
+    # sniff the format, validating every input is the same kind
+    # (reference extract-partitions.py:282-291)
     is_fastq = None
-    for read, _ in partitioned_reads(args.part_filenames[:1]):
-        is_fastq = getattr(read, 'quality', None) is not None
-        break
+    for read, _ in partitioned_reads(args.part_filenames):
+        if is_fastq is None:
+            is_fastq = getattr(read, 'quality', None) is not None
+        else:
+            assert (getattr(read, 'quality', None) is not None) \
+                == is_fastq, \
+                "Input files must have consistent format."
     suffix = 'fq' if is_fastq else 'fa'
 
     # pass 1: counts per partition (+ optional unassigned output)

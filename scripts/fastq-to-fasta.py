@@ -13,7 +13,7 @@ TPU port of the reference scripts/fastq-to-fasta.py (same CLI/outputs).
 import sys
 import textwrap
 
-from khmer_tpu.io.fastx import FastxReader, Read
+from khmer_tpu.io.fastx import FastxReader, Read, screed_open
 from khmer_tpu.khmer_args import (FileType as khFileType,
                                   KhmerArgumentParser, sanitize_help)
 from khmer_tpu.kfile import (add_output_compression_type,
@@ -50,7 +50,7 @@ def main():
     print('fastq from ', args.input_sequence, file=sys.stderr)
     outfp = get_file_writer(args.output, args.gzip, args.bzip)
     n_count = 0
-    for n, record in enumerate(FastxReader(args.input_sequence)):
+    for n, record in enumerate(screed_open(args.input_sequence)):
         if n % 10000 == 0:
             print('...', n, file=sys.stderr)
 

@@ -18,7 +18,7 @@ import sys
 import textwrap
 from itertools import zip_longest
 
-from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.io.fastx import FastxReader, screed_open
 from khmer_tpu.khmer_args import (FileType as khFileType,
                                   KhmerArgumentParser, sanitize_help)
 from khmer_tpu.kfile import (add_output_compression_type, check_input_files,
@@ -74,8 +74,8 @@ def main():
     outfp = get_file_writer(args.output, args.gzip, args.bzip)
 
     counter = 0
-    screed_iter_1 = FastxReader(s1_file)
-    screed_iter_2 = FastxReader(s2_file)
+    screed_iter_1 = screed_open(s1_file)
+    screed_iter_2 = screed_open(s2_file)
     for read1, read2 in zip_longest(screed_iter_1, screed_iter_2):
         if read1 is None or read2 is None:
             print(("ERROR: Input files contain different number"

@@ -37,7 +37,7 @@ from khmer_tpu.kfile import (add_output_compression_type, check_space,
                              check_space_for_graph, check_valid_file_exists,
                              describe_file_handle, get_file_writer)
 from khmer_tpu.khmer_logger import configure_logging, log_error, log_info
-from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.io.fastx import FastxReader, screed_open
 from khmer_tpu.utils import (ReadBundle, broken_paired_reader,
                              clean_input_reads, write_record)
 
@@ -63,12 +63,38 @@ class Normalizer(object):
       bundle.
     """
 
-    def __init__(self, desired_coverage, countgraph, batch=BATCH):
+    def __init__(self, desired_coverage, countgraph, batch=BATCH,
+                 report_fp=None, report_frequency=100000):
         self.countgraph = countgraph
         self.desired_coverage = desired_coverage
         self.batch = batch
         self.total = 0
         self.kept = 0
+        # periodic reporting fires inside the sequential host replay,
+        # so the report lines carry the exact mid-stream counters
+        # (reference WithDiagnostics, normalize-by-median.py:72-152)
+        self.report_fp = report_fp
+        self.report_frequency = report_frequency
+        self.next_report_at = report_frequency
+        self.last_report_at = report_frequency
+        self.current_file = None
+
+    def _maybe_report(self):
+        if self.total < self.next_report_at:
+            return
+        while self.next_report_at <= self.total:
+            self.next_report_at += self.report_frequency
+        self.last_report_at = self.total
+        perc_kept = self.kept / float(self.total)
+        log_info('... kept {kept} of {tot} or {perc_kept:.1%} so'
+                 'far', kept=self.kept, tot=self.total,
+                 perc_kept=perc_kept)
+        log_info('... in file {name}', name=self.current_file)
+        if self.report_fp:
+            print("{total},{kept},{f_kept:.4}".format(
+                total=self.total, f_kept=perc_kept, kept=self.kept),
+                file=self.report_fp)
+            self.report_fp.flush()
 
     def _drain(self, pending):
         import numpy as np
@@ -91,6 +117,7 @@ class Normalizer(object):
         offs = np.cumsum([0] + [r.size for r, _ in pairs])
         kept_rows = []
         for i, bundle in enumerate(pending):
+            self.total += bundle.num_reads
             lo, hi = spans[i]
             keep = False
             for j in range(lo, hi):
@@ -108,19 +135,20 @@ class Normalizer(object):
                     keep = True
                     break
             if not keep:
+                self._maybe_report()
                 continue
             for record, j in zip(bundle.reads, range(lo, hi)):
                 np.add.at(tally, inv[offs[j]: offs[j + 1]], 1)
                 kept_rows.append(pairs[j][0])
                 self.kept += 1
                 yield record
+            self._maybe_report()
         if kept_rows:
             graph.storage.add_batch(np.concatenate(kept_rows))
 
     def __call__(self, reader):
         pending = []
         for _, is_paired, read0, read1 in reader:
-            self.total += 2 if is_paired else 1
             pending.append(ReadBundle(read0, read1))
             if len(pending) >= self.batch:
                 yield from self._drain(pending)
@@ -259,6 +287,9 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
     check_space(args.input_filenames, args.force)
 
     if args.savegraph is not None:
+        if getattr(args, 'hash_function', 'twobit-exact') != 'twobit-exact':
+            log_error('ERROR: cannot save different hash functions yet.')
+            sys.exit(1)
         graphsize = calculate_graphsize(args, 'countgraph')
         check_space_for_graph(args.savegraph, graphsize, args.force)
 
@@ -270,9 +301,12 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
         countgraph = khmer_args.create_MQFGraph(args)
     else:
         log_info('making countgraph')
-        countgraph = khmer_args.create_countgraph(args)
+        # honors -H/--hash-function (murmur backs a Counttable for
+        # k > 32; reference normalize-by-median.py:374)
+        countgraph = khmer_args.create_counttable(args)
 
-    norm = Normalizer(args.cutoff, countgraph)
+    norm = Normalizer(args.cutoff, countgraph, report_fp=report_fp,
+                      report_frequency=args.report_frequency)
     if report_fp:
         report_fp.write('total,kept,f_kept\n')
 
@@ -300,9 +334,10 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
             outfp = get_file_writer(outfp, args.gzip, args.bzip)
 
         total_start = norm.total
+        norm.current_file = filename
         with catch_io_errors(filename, outfp, args.single_output_file,
                              args.force, corrupt_files):
-            screed_iter = clean_input_reads(FastxReader(filename))
+            screed_iter = clean_input_reads(screed_open(filename))
             reader = broken_paired_reader(screed_iter,
                                           min_length=args.ksize,
                                           force_single=force_single,
@@ -318,7 +353,10 @@ def main():  # pylint: disable=too-many-branches,too-many-statements
                 log_info('DONE with {inp}; kept {kept} of {total} or '
                          '{perc_kept:.1%}', inp=filename, kept=norm.kept,
                          total=norm.total, perc_kept=perc_kept)
-            if report_fp and norm.total:
+            # at least one report per file, at the end of each file
+            # (reference normalize-by-median.py:146-152)
+            if report_fp and norm.total and \
+                    norm.total != norm.last_report_at:
                 print("{total},{kept},{f_kept:.4}".format(
                     total=norm.total, kept=norm.kept,
                     f_kept=norm.kept / float(norm.total)), file=report_fp)

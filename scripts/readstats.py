@@ -15,7 +15,7 @@ import csv
 import sys
 import textwrap
 
-from khmer_tpu.io.fastx import FastxReader
+from khmer_tpu.io.fastx import FastxReader, screed_open
 from khmer_tpu.khmer_args import KhmerArgumentParser, sanitize_help
 
 
@@ -67,7 +67,7 @@ def analyze_file(filename):
     """Run over the given file and count base pairs and sequences."""
     bps = 0
     seqs = 0
-    for record in FastxReader(filename):
+    for record in screed_open(filename):
         if seqs % 100000 == 0:
             print('...', filename, seqs, file=sys.stderr)
         bps += len(record.sequence)

@@ -175,7 +175,7 @@ class Trimmer(object):
             seqs.extend(r.cleaned_seq for r in bundle.reads)
         hc = graph._hash_count_rows(seqs)
 
-        # `tally` = k-mers consumed earlier in this batch, tracked over
+        # `tally` = k-mers consumed earlier in this batch (cont.), tracked over
         # COMPACT in-batch ids: a read's CURRENT count for hash h is
         # pre_batch(h) + tally(h) — exact, because sketch counts are
         # additive (and saturated reads compare identically against
@@ -187,6 +187,8 @@ class Trimmer(object):
         offs = np.cumsum([0] + [r.size for r, _ in hc])
         pending_hashes = []
         for i, bundle in enumerate(bundles):
+            self.n_reads += bundle.num_reads
+            self.n_bp += bundle.total_length
             lo, hi = spans[i]
             rows = [(hc[j][0],
                      (hc[j][1].astype(np.int64)
@@ -218,8 +220,6 @@ class Trimmer(object):
         batch = []
         for _, is_pair, read1, read2 in reader:
             bundle = ReadBundle(read1, read2)
-            self.n_reads += bundle.num_reads
-            self.n_bp += bundle.total_length
             batch.append(bundle)
             if len(batch) >= self.BATCH:
                 yield from self._pass1_batch(batch, saver)
@@ -239,6 +239,8 @@ class Trimmer(object):
         hc = graph._hash_count_rows(seqs)
 
         for bundle, (lo, hi) in zip(bundles, spans):
+            self.n_reads += bundle.num_reads
+            self.n_bp += bundle.total_length
             rows = hc[lo:hi]
             at_cov = all(
                 self._median(c) >= self.trim_at_coverage for _, c in rows)
@@ -260,8 +262,6 @@ class Trimmer(object):
         batch = []
         for _, is_pair, read1, read2 in reader:
             bundle = ReadBundle(read1, read2)
-            self.n_reads += bundle.num_reads
-            self.n_bp += bundle.total_length
             batch.append(bundle)
             if len(batch) >= self.BATCH:
                 yield from self._pass2_batch(batch)
@@ -320,6 +320,10 @@ def main():
     check_valid_file_exists(args.input_filenames)
     check_space(args.input_filenames, args.force)
     if args.savegraph:
+        if getattr(args, 'hash_function', 'twobit-exact') != 'twobit-exact':
+            log_error('ERROR: cannot save different hash functions yet.')
+            sys.exit(1)
+
         graphsize = calculate_graphsize(args, graphtype)
         check_space_for_graph(args.savegraph, graphsize, args.force)
 
@@ -340,7 +344,9 @@ def main():
         ct = khmer_args.create_MQFGraph(args)
     else:
         log_info('making countgraph')
-        ct = khmer_args.create_countgraph(args)
+        # create_counttable: honors -H/--hash-function (murmur backs a
+        # Counttable for k > 32; reference trim-low-abund.py:370)
+        ct = khmer_args.create_counttable(args)
 
     K = ct.ksize()
     tempdir = tempfile.mkdtemp('khmer', 'tmp', args.tempdir)
@@ -466,9 +472,11 @@ def main():
                                              max_false_pos=.8)
     log_info('fp rate estimated to be {fpr:1.3f}', fpr=fp_rate)
 
-    if args.output:
+    if args.output is None:
         log_info('output in *.abundtrim')
-    elif args.output:
+    elif getattr(args.output, 'name', None) in (1, '/dev/stdout'):
+        log_info('output streamed to stdout')
+    elif getattr(args.output, 'name', None):
         log_info('output in {}'.format(args.output.name))
 
     if args.savegraph:
@@ -476,7 +484,18 @@ def main():
         ct.save(args.savegraph)
 
     if args.summary_info is not None:
-        # note that when streaming to stdout the output filename is `-`
+        # when -o names a real file, the summary is <that name>.info.*;
+        # stdout streams / no -o get a timestamped default name
+        # (reference trim-low-abund.py:563-571)
+        import time as _time
+
+        outname = getattr(args.output, 'name', None) if args.output \
+            else None
+        if outname not in (None, 1, '/dev/stdout'):
+            base = outname
+        else:
+            base = 'trim-low-abund-{}'.format(
+                _time.strftime("%Y-%m-%dT%H:%M:%S"))
         info = {
             'fpr': fp_rate,
             'reads': n_reads,
@@ -489,7 +508,7 @@ def main():
             'reads_trimmed': trimmed_reads,
             'basepairs_removed_or_trimmed': n_bp - written_bp,
         }
-        store_provenance_info(info, fname='trim-low-abund',
+        store_provenance_info(info, fname=base,
                               format=args.summary_info)
 
 

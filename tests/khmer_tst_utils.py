@@ -69,10 +69,11 @@ def longify(values):
 
 def screed_open(path):
     """screed.open stand-in: iterate records with .name/.sequence/
-    .quality attributes from any fasta/fastq(.gz/.bz2) file."""
-    from khmer_tpu.io.fastx import FastxReader
+    .quality attributes from any fasta/fastq(.gz/.bz2) file; yields
+    nothing on empty input (screed semantics, not ReadParser's)."""
+    from khmer_tpu.io.fastx import screed_open as _so
 
-    return FastxReader(path)
+    return _so(path)
 
 
 def _revcomp(seq):

@@ -50,11 +50,14 @@ def test_check_tablespace(graph_type, buckets_per_byte):
     total_buckets = buckets_per_table * args.n_tables
     space_needed = total_buckets / buckets_per_byte
 
-    # insufficient space
+    # insufficient space: message on stderr, exit code 1 (reference
+    # kfile prints then sys.exit(1))
     with pytest.raises(SystemExit) as se:
         kfile.check_space_for_graph(outfile, space_needed, force=False,
                                     _testhook_free_space=10e9)
-    assert 'ERROR: Not enough free space' in str(se)
+    assert se.value.code == 1
+    assert 'ERROR: Not enough free space' in sys.stderr.getvalue()
+    sys.stderr = StringIO()
 
     # insufficient space, force mode
     kfile.check_space_for_graph(outfile, space_needed, force=True,

@@ -1,117 +1,568 @@
-"""Streaming/pipe tests — shell pipelines over stdin/stdout, ported
-from the reference tests/test_streaming_io.py (its Layer-4 strategy)."""
+"""Real shell-pipeline streaming tests — the full port of the
+reference's tests/test_streaming_io.py (28 tests): every script must
+read stdin ('-' and /dev/stdin) and write stdout, composing into UNIX
+pipelines, with byte-identical outputs vs the file-path code paths."""
+
+import os.path
+
+from . import khmer_tst_utils as utils
+from .khmer_tst_utils import run_shell_cmd, scriptpath, screed_open
+from .test_scripts import _make_counting
 
 import difflib
-import os
-import subprocess
 
-import pytest
-
-from .khmer_tst_utils import SCRIPTS_DIR
-
-ENV = dict(os.environ, KHMER_TPU_PLATFORM="cpu")
-
-
-def run_shell_cmd(cmd, fail_ok=False, work_dir=None):
-    p = subprocess.run(cmd, shell=True, capture_output=True, text=True,
-                       cwd=work_dir, env=ENV, timeout=300)
-    if p.returncode != 0 and not fail_ok:
-        raise AssertionError(
-            "command failed: %s\nstdout:%s\nstderr:%s" %
-            (cmd, p.stdout, p.stderr))
-    return p
+from khmer_tpu import Countgraph, Nodegraph
 
 
 def files_are_equal(a, b):
-    return open(a).readlines() == open(b).readlines()
+    al = open(a).readlines()
+    bl = open(b).readlines()
+
+    return al == bl
 
 
 def diff_files(a, b):
-    return "\n".join(difflib.context_diff(
-        open(a).readlines(), open(b).readlines(), fromfile=a, tofile=b))
+    al = open(a).readlines()
+    bl = open(b).readlines()
+
+    results = "\n".join(difflib.context_diff(al, bl, fromfile=a,
+                                             tofile=b))
+    return results
 
 
-def test_interleave_split_1(ref_test_data, tmp_path):
-    in1 = ref_test_data + '/paired.fq.1'
-    in2 = ref_test_data + '/paired.fq.2'
-    out1 = str(tmp_path / 'a.fa')
-    out2 = str(tmp_path / 'b.fa')
+def test_interleave_split_1():
+    in1 = utils.get_test_data('paired.fq.1')
+    in2 = utils.get_test_data('paired.fq.2')
+
+    out1 = utils.get_temp_filename('a.fa')
+    out2 = utils.get_temp_filename('b.fa')
 
     cmd = """
-       python {scripts}/interleave-reads.py {in1} {in2} -o -       |
-       python {scripts}/split-paired-reads.py -1 {out1} -2 {out2} -
-    """.format(scripts=SCRIPTS_DIR, in1=in1, in2=in2, out1=out1,
-               out2=out2)
-    run_shell_cmd(cmd, work_dir=str(tmp_path))
+       {scripts}/interleave-reads.py {in1} {in2} -o -             |
+       {scripts}/split-paired-reads.py -1 {out1} -2 {out2} -
+    """
+
+    cmd = cmd.format(scripts=scriptpath(),
+                     in1=in1, in2=in2,
+                     out1=out1, out2=out2)
+
+    run_shell_cmd(cmd)
 
     assert files_are_equal(in1, out1), diff_files(in1, out1)
     assert files_are_equal(in2, out2), diff_files(in2, out2)
 
 
-def test_extract_paired_pe(ref_test_data, tmp_path):
-    # stdin-fed extract-paired-reads equals the file-fed run
-    infile = ref_test_data + '/paired-mixed.fa'
-    out_pe1 = str(tmp_path / 'pe1.fa')
-    out_pe2 = str(tmp_path / 'pe2.fa')
+def test_interleave_split_2_fail():
+    in1 = utils.get_test_data('paired.fq.1')
+    in2 = utils.get_test_data('paired.fq.2')
 
-    run_shell_cmd(
-        "python {s}/extract-paired-reads.py {i} -p {o} -s /dev/null"
-        .format(s=SCRIPTS_DIR, i=infile, o=out_pe1),
-        work_dir=str(tmp_path))
-    run_shell_cmd(
-        "cat {i} | python {s}/extract-paired-reads.py - -p {o} "
-        "-s /dev/null".format(s=SCRIPTS_DIR, i=infile, o=out_pe2),
-        work_dir=str(tmp_path))
+    cmd = """
+       {scripts}/interleave-reads.py {in1} {in2} -o -             |
+       {scripts}/split-paired-reads.py -
+    """
 
-    assert files_are_equal(out_pe1, out_pe2), diff_files(out_pe1, out_pe2)
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, in2=in2)
 
-
-def test_norm_by_median_streaming(ref_test_data, tmp_path):
-    # streaming diginorm from stdin equals the file-based run
-    infile = ref_test_data + '/test-abund-read-2.fa'
-    out1 = str(tmp_path / 'a.keep')
-    out2 = str(tmp_path / 'b.keep')
-
-    run_shell_cmd(
-        "python {s}/normalize-by-median.py -C 1 -k 17 -o {o} {i}"
-        .format(s=SCRIPTS_DIR, i=infile, o=out1), work_dir=str(tmp_path))
-    run_shell_cmd(
-        "cat {i} | python {s}/normalize-by-median.py -C 1 -k 17 -o {o} -"
-        .format(s=SCRIPTS_DIR, i=infile, o=out2), work_dir=str(tmp_path))
-
-    assert files_are_equal(out1, out2), diff_files(out1, out2)
+    (status, _, err) = run_shell_cmd(cmd, fail_ok=True)
+    assert status != 0
+    assert "Accepting input from stdin; output filenames must be " \
+           "provided." in err, err
 
 
-def test_fastq_to_fasta_pipe(ref_test_data, tmp_path):
-    infile = ref_test_data + '/test-fastq-reads.fq'
-    out = str(tmp_path / 'out.fa')
-    run_shell_cmd(
-        "python {s}/fastq-to-fasta.py {i} -o - > {o}"
-        .format(s=SCRIPTS_DIR, i=infile, o=out), work_dir=str(tmp_path))
-    data = open(out).read()
-    assert data.startswith('>')
-    assert data.count('>') == 100
+def test_interleave_split_3_out1():
+    in1 = utils.get_test_data('paired.fq.1')
+    in2 = utils.get_test_data('paired.fq.2')
+
+    out1 = utils.get_temp_filename('a.fa')
+    out2 = utils.get_temp_filename('b.fa')
+
+    cmd = """
+       {scripts}/interleave-reads.py {in1} {in2} -o -             |
+       {scripts}/split-paired-reads.py -1 - -2 {out2} - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(),
+                     in1=in1, in2=in2,
+                     out1=out1, out2=out2)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(in1, out1), diff_files(in1, out1)
+    assert files_are_equal(in2, out2), diff_files(in2, out2)
 
 
-def test_extract_long_sequences_pipe(ref_test_data, tmp_path):
-    infile = ref_test_data + '/paired-mixed.fa'
-    out = str(tmp_path / 'long.fa')
-    run_shell_cmd(
-        "python {s}/extract-long-sequences.py -l 10 {i} -o - > {o}"
-        .format(s=SCRIPTS_DIR, i=infile, o=out), work_dir=str(tmp_path))
-    assert open(out).read().count('>') > 0
+def test_interleave_split_3_out2():
+    in1 = utils.get_test_data('paired.fq.1')
+    in2 = utils.get_test_data('paired.fq.2')
+
+    out1 = utils.get_temp_filename('a.fa')
+    out2 = utils.get_temp_filename('b.fa')
+
+    cmd = """
+       {scripts}/interleave-reads.py {in1} {in2} -o -             |
+       {scripts}/split-paired-reads.py -1 {out1} -2 - - > {out2}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(),
+                     in1=in1, in2=in2,
+                     out1=out1, out2=out2)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(in1, out1), diff_files(in1, out1)
+    assert files_are_equal(in2, out2), diff_files(in2, out2)
 
 
-def test_load_into_counting_stdin(ref_test_data, tmp_path):
-    # counting from a pipe equals counting from the file
-    infile = ref_test_data + '/test-abund-read-2.fa'
-    ct1 = str(tmp_path / 'a.ct')
-    ct2 = str(tmp_path / 'b.ct')
-    run_shell_cmd(
-        "python {s}/load-into-counting.py -k 17 -x 1e6 -N 2 {o} {i}"
-        .format(s=SCRIPTS_DIR, i=infile, o=ct1), work_dir=str(tmp_path))
-    run_shell_cmd(
-        "cat {i} | python {s}/load-into-counting.py -k 17 -x 1e6 -N 2 "
-        "{o} -".format(s=SCRIPTS_DIR, i=infile, o=ct2),
-        work_dir=str(tmp_path))
-    assert open(ct1, 'rb').read() == open(ct2, 'rb').read()
+def test_interleave_split_3_out0():
+    in1 = utils.get_test_data('paired-mixed-broken.fq')
+
+    out1 = utils.get_temp_filename('a.fa')
+    out2 = utils.get_temp_filename('b.fa')
+    out3 = utils.get_temp_filename('c.fa')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/split-paired-reads.py -1 {out1} -2 {out2} -0 - - > {out3}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(),
+                     in1=in1,
+                     out1=out1, out2=out2, out3=out3)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(in1, out3), diff_files(in1, out3)
+    assert len(open(out1, 'rb').read()) == 0
+    assert len(open(out2, 'rb').read()) == 0
+
+
+def test_extract_paired_pe():
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out_test = utils.get_test_data('paired-mixed.fq.pe')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/extract-paired-reads.py - -p - -s /dev/null > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(out1, out_test), diff_files(out1, out_test)
+
+
+def test_extract_paired_se():
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out_test = utils.get_test_data('paired-mixed.fq.se')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/extract-paired-reads.py - -p /dev/null -s - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(out1, out_test), diff_files(out1, out_test)
+
+
+def test_extract_paired_stdin_equivalence():
+    # Use '/dev/stdin' instead of '-': must be treated the same way
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out_test = utils.get_test_data('paired-mixed.fq.se')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/extract-paired-reads.py /dev/stdin -p /dev/null -s - \
+            > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(out1, out_test), diff_files(out1, out_test)
+
+
+def test_extract_paired_se_fail():
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/extract-paired-reads.py -p /dev/null - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    (status, _, err) = run_shell_cmd(cmd, fail_ok=True)
+    assert status != 0
+    assert "Accepting input from stdin; output filenames must be " \
+           "provided." in err, err
+
+
+def test_norm_by_median_1():
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out_test = utils.get_test_data('paired-mixed.fq.pe')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/extract-paired-reads.py - -p - -s /dev/null |
+       {scripts}/normalize-by-median.py - -o - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(out1, out_test), diff_files(out1, out_test)
+
+
+def test_norm_by_median_2_fail():
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/extract-paired-reads.py - -p - -s /dev/null |
+       {scripts}/normalize-by-median.py -p - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    (status, _, err) = run_shell_cmd(cmd, fail_ok=True)
+    assert status != 0
+    assert "Accepting input from stdin; output filename must be " \
+           "provided" in err, err
+
+
+def test_sample_reads_randomly_1():
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/sample-reads-randomly.py - -o - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert files_are_equal(in1, out1), diff_files(in1, out1)
+
+
+def test_sample_reads_randomly_2_fail():
+    in1 = utils.get_test_data('paired-mixed.fq')
+    out1 = utils.get_temp_filename('a.fq')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/sample-reads-randomly.py - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    (status, _, err) = run_shell_cmd(cmd, fail_ok=True)
+    assert status != 0
+    assert "Accepting input from stdin; output filename must be " \
+           "provided" in err, err
+
+
+def test_extract_long_sequences_1():
+    in1 = utils.get_test_data('paired-mixed.fa')
+    out1 = utils.get_temp_filename('a.fa')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/extract-long-sequences.py - -l 10 > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    countlines = sum(1 for line in open(out1))
+    assert countlines == 22, countlines
+
+
+def test_fastq_to_fasta_1():
+    in1 = utils.get_test_data('test-fastq-reads.fq')
+    out1 = utils.get_temp_filename('clean.fa')
+    out_test = utils.get_test_data('test-fastq-reads.fa')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/fastq-to-fasta.py - -o - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+    assert files_are_equal(out1, out_test), diff_files(out1, out_test)
+
+
+def test_load_into_counting_1():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.ct')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/load-into-counting.py -x 1e3 -N 2 -k 20 {out1} - \
+       2> /dev/null
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+    assert os.path.exists(out1)
+    Countgraph.load(out1)
+
+
+def test_load_graph_1():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.ct')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/load-graph.py -x 1e3 -N 2 -k 20 {out1} - \
+       2> /dev/null
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+    assert os.path.exists(out1)
+    Nodegraph.load(out1)
+
+
+def test_filter_abund_1():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.abundfilt')
+
+    countgraph = _make_counting(in1, K=17)
+
+    cmd = """
+       cat {in1} |
+       {scripts}/filter-abund.py {countgraph} - -o - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1,
+                     countgraph=countgraph)
+
+    run_shell_cmd(cmd)
+
+    assert os.path.exists(out1)
+    seqs = set([r.sequence for r in screed_open(out1)])
+
+    assert len(seqs) == 1, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_filter_abund_2_fail():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.abundfilt')
+
+    countgraph = _make_counting(in1, K=17)
+
+    cmd = """
+       cat {in1} |
+       {scripts}/filter-abund.py {countgraph} - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1,
+                     countgraph=countgraph)
+
+    status, _, err = run_shell_cmd(cmd, fail_ok=True)
+    assert status != 0
+    assert "Accepting input from stdin; output filename must be " \
+           "provided" in err, err
+
+
+def test_abundance_dist_1():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.dist')
+
+    countgraph = _make_counting(in1, K=17)
+    assert os.path.exists(countgraph)
+
+    cmd = """
+       cat {in1} |
+       {scripts}/abundance-dist.py -z {countgraph} - - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1,
+                     countgraph=countgraph)
+
+    run_shell_cmd(cmd)
+
+    assert os.path.exists(out1)
+    with open(out1) as fpout1:
+        line = fpout1.readline().strip()
+        line = fpout1.readline().strip()
+        assert line == '1,96,96,0.98', line
+        line = fpout1.readline().strip()
+        assert line == '1001,2,98,1.0', line
+
+
+def test_trim_low_abund_1():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.abundtrim')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/trim-low-abund.py -k 17 -x 1e7 -N 2 - -o - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert os.path.exists(out1)
+    seqs = set([r.sequence for r in screed_open(out1)])
+
+    assert len(seqs) == 1, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_trim_low_abund_smallcount():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.abundtrim')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/trim-low-abund.py --small-count \
+         -k 17 -x 1e7 -N 2 - -o - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert os.path.exists(out1)
+    seqs = set([r.sequence for r in screed_open(out1)])
+
+    assert len(seqs) == 1, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_trim_low_abund_1_gzip_o():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.abundtrim.gz')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/trim-low-abund.py -k 17 -x 1e7 -N 2 - -o - --gzip > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert os.path.exists(out1)
+    seqs = set([r.sequence for r in screed_open(out1)])
+
+    assert len(seqs) == 1, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_trim_low_abund_2_fail():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.abundtrim')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/trim-low-abund.py -k 17 -x 1e7 -N 2 - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    (status, _, err) = run_shell_cmd(cmd, fail_ok=True)
+    assert status != 0
+    assert "Accepting input from stdin; output filename must be " \
+           "provided" in err, err
+
+
+def test_count_median_1():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.counts')
+
+    countgraph = _make_counting(in1, K=8)
+    cmd = """
+       cat {in1} |
+       {scripts}/count-median.py {countgraph} - - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), countgraph=countgraph,
+                     in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+
+    assert os.path.exists(out1), out1
+    data = [x.strip() for x in open(out1)]
+    data = set(data)
+    assert len(data) == 3, data
+    assert 'seq,1001,1001.0,0.0,18' in data
+    assert '895:1:37:17593:9954/1,1,103.803741455,303.702941895,114' \
+        in data
+
+
+def test_readstats_1():
+    in1 = utils.get_test_data('test-abund-read-2.fa')
+    out1 = utils.get_temp_filename('out.stats')
+
+    cmd = """
+       cat {in1} |
+       {scripts}/readstats.py --csv - > {out1}
+    """
+
+    cmd = cmd.format(scripts=scriptpath(), in1=in1, out1=out1)
+
+    run_shell_cmd(cmd)
+    assert '18114,1001,18.1,-' in open(out1).read(), open(out1).read()
+
+
+def test_unique_kmers_stream_out_fasta():
+    infile = utils.get_test_data('random-20-a.fa')
+
+    cmd = "{scripts}/unique-kmers.py -k 20 -e 0.01 --stream-records " \
+          "{infile}"
+    cmd = cmd.format(scripts=scriptpath(), infile=infile)
+
+    (_, out, err) = run_shell_cmd(cmd)
+
+    expected = ('Estimated number of unique 20-mers in {infile}: 3950'
+                .format(infile=infile))
+    assert expected in err
+    assert 'Total estimated number of unique 20-mers: 3950' in err
+
+    assert '>45' in out
+    assert "ATACGCCACTCGACTTGGCTCGCCCTCGATCTAAAATAGCGGTCGTGTTGGGTTAACAA" \
+        in out
+
+
+def test_unique_kmers_stream_out_fastq_with_N():
+    infile = utils.get_test_data('test-filter-abund-Ns.fq')
+
+    cmd = "{scripts}/unique-kmers.py -k 20 -e 0.01 --stream-records " \
+          "{infile}"
+    cmd = cmd.format(scripts=scriptpath(), infile=infile)
+
+    (_, out, err) = run_shell_cmd(cmd)
+
+    expected = ('Estimated number of unique 20-mers in {infile}: 94'
+                .format(infile=infile))
+    assert expected in err
+    assert 'Total estimated number of unique 20-mers: 94' in err
+
+    assert '@895:1:37:17593:9954 1::FOO_withN' in out
+    assert "GGTTGACGGGGCTCAGGGGGCGGCTGACTCCGAGNGACAGCAGCCGCAGCTGTCGTCA" \
+        in out
+    assert "##########################################################" \
+        in out
