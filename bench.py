@@ -85,12 +85,12 @@ def _probe_backend(timeout_s):
 
 def _init_with_retries():
     """Bounded retry/backoff on backend init; returns (backend, error)."""
-    delays = (0, 20, 60)
+    delays = (0, 30, 120)
     err = None
     for d in delays:
         if d:
             time.sleep(d)
-        backend, err = _probe_backend(timeout_s=180)
+        backend, err = _probe_backend(timeout_s=420)
         if backend:
             return backend, None
     return None, err

@@ -50,7 +50,15 @@ def make_synth_reads(path, genome_mb=3.2, coverage=20, readlen=100,
 
 
 def run_script(name, *args, env=None):
-    """Run scripts/<name> with args; returns wall seconds."""
+    """Run scripts/<name> with args; returns (wall seconds, stages)
+    where `stages` carries the per-stage device decomposition emitted
+    by the KHMER_TPU_TIMING hooks (parse/pack, h2d enqueue, append
+    dispatch, sort-combine, ledger, premin, scatter) so the wall time
+    separates startup/tunnel/wire from compute (round-3 VERDICT #9)."""
+    env = dict(env or os.environ)
+    tout = tempfile.mktemp(suffix=".stages.json")
+    env["KHMER_TPU_TIMING"] = "1"
+    env["KHMER_TPU_TIMING_OUT"] = tout
     cmd = [sys.executable, os.path.join(SCRIPTS, name), *args]
     t0 = time.perf_counter()
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
@@ -59,10 +67,16 @@ def run_script(name, *args, env=None):
         raise RuntimeError(
             "%s failed (%d):\n%s\n%s" % (name, r.returncode,
                                          r.stdout[-2000:], r.stderr[-2000:]))
-    return dt
+    stages = None
+    if os.path.exists(tout):
+        with open(tout) as f:
+            stages = json.load(f)
+        os.unlink(tout)
+    return dt, stages
 
 
-def stage(results, pipeline, name, seconds, input_path=None, reads=None):
+def stage(results, pipeline, name, seconds, input_path=None, reads=None,
+          stages=None):
     entry = {"stage": name, "seconds": round(seconds, 3)}
     if input_path and os.path.exists(input_path):
         mb = os.path.getsize(input_path) / 1e6
@@ -70,6 +84,17 @@ def stage(results, pipeline, name, seconds, input_path=None, reads=None):
         entry["mb_per_s"] = round(mb / seconds, 2)
     if reads:
         entry["reads_per_s"] = round(reads / seconds)
+    if stages:
+        times = stages.get("times_s", {})
+        entry["stage_times_s"] = times
+        device_s = sum(v for k, v in times.items()
+                       if k not in ("pack", "h2d-enqueue"))
+        if device_s and input_path and os.path.exists(input_path):
+            mb = os.path.getsize(input_path) / 1e6
+            entry["device_s"] = round(device_s, 3)
+            entry["mb_per_device_s"] = round(mb / device_s, 2)
+        startup = seconds - sum(times.values())
+        entry["startup_and_untimed_s"] = round(max(startup, 0.0), 3)
     results.setdefault(pipeline, []).append(entry)
     print(f"[{pipeline}] {name}: {entry}", flush=True)
 
@@ -90,49 +115,52 @@ def main(quick=False):
     #    (BASELINE config; warm pass reported: the first run also pays
     #    one-time XLA compiles, cached persistently)
     for trial in range(2):
-        dt = run_script("load-into-counting.py", "-x", "1e8", "-N", "4",
+        dt, st = run_script("load-into-counting.py", "-x", "1e8", "-N", "4",
                         "-k", "20", "synth.ct", synth)
     stage(results, "load-into-counting", "load-into-counting(64MB synth)",
-          dt, synth, n_synth_reads)
-    dt = run_script("abundance-dist-single.py", "-x", "1e8", "-N", "4",
+          dt, synth, n_synth_reads, stages=st)
+    dt, st = run_script("abundance-dist-single.py", "-x", "1e8", "-N", "4",
                     "-k", "20", synth, "synth.hist")
-    stage(results, "load-into-counting", "abundance-dist-single", dt, synth)
+    stage(results, "load-into-counting", "abundance-dist-single", dt,
+          synth, stages=st)
 
     # stamps variant (the reference's own example pipeline)
-    dt = run_script("load-into-counting.py", "-x", "1e8", "-k", "20",
+    dt, st = run_script("load-into-counting.py", "-x", "1e8", "-k", "20",
                     "stamps-reads.ct", STAMPS_READS)
     stage(results, "load-into-counting", "load-into-counting(stamps)",
-          dt, STAMPS_READS)
+          dt, STAMPS_READS, stages=st)
 
     # 2. normalize-by-median -C 20 (paired streaming config)
-    dt = run_script("normalize-by-median.py", "-k", "20", "-C", "20",
+    dt, st = run_script("normalize-by-median.py", "-k", "20", "-C", "20",
                     "-x", "1e8", "-o", "stamps.keep.fa", STAMPS_READS)
     stage(results, "normalize-by-median", "diginorm C=20 (stamps)",
-          dt, STAMPS_READS)
+          dt, STAMPS_READS, stages=st)
 
     # 3. trim-low-abund + filter-abund
-    dt = run_script("trim-low-abund.py", "-k", "20", "-M", "4e8",
+    dt, st = run_script("trim-low-abund.py", "-k", "20", "-M", "4e8",
                     STAMPS_READS)
     stage(results, "trim+filter", "trim-low-abund (stamps)", dt,
-          STAMPS_READS)
-    dt = run_script("filter-abund.py", "stamps-reads.ct",
+          STAMPS_READS, stages=st)
+    dt, st = run_script("filter-abund.py", "stamps-reads.ct",
                     "stamps.keep.fa")
-    stage(results, "trim+filter", "filter-abund", dt, "stamps.keep.fa")
+    stage(results, "trim+filter", "filter-abund", dt,
+          "stamps.keep.fa", stages=st)
 
     # 4. unique-kmers (HLL)
     for k in ("21", "31"):
-        dt = run_script("unique-kmers.py", "-k", k, STAMPS_READS)
+        dt, st = run_script("unique-kmers.py", "-k", k, STAMPS_READS)
         stage(results, "unique-kmers", "unique-kmers k=%s" % k, dt,
-              STAMPS_READS)
+              STAMPS_READS, stages=st)
 
     # 5. partition pipeline on stamps-genomes
-    dt = run_script("load-graph.py", "-x", "1e7", "-k", "32",
+    dt, st = run_script("load-graph.py", "-x", "1e7", "-k", "32",
                     "stamps.graph", STAMPS_GENOMES)
-    stage(results, "partition", "load-graph", dt, STAMPS_GENOMES)
-    dt = run_script("partition-graph.py", "-s", "1e4", "stamps.graph")
-    stage(results, "partition", "partition-graph", dt)
-    dt = run_script("merge-partitions.py", "stamps.graph")
-    stage(results, "partition", "merge-partitions", dt)
+    stage(results, "partition", "load-graph", dt, STAMPS_GENOMES,
+          stages=st)
+    dt, st = run_script("partition-graph.py", "-s", "1e4", "stamps.graph")
+    stage(results, "partition", "partition-graph", dt, stages=st)
+    dt, st = run_script("merge-partitions.py", "stamps.graph")
+    stage(results, "partition", "merge-partitions", dt, stages=st)
 
     out = os.path.join(REPO, "BENCH_PIPELINES.json")
     import jax

@@ -43,6 +43,10 @@ class Hashgraph(Hashtable):
     def tag_density(self):
         return self._tag_density
 
+    @tag_density.setter
+    def tag_density(self, d):
+        self._set_tag_density(d)
+
     def _get_tag_density(self):
         return self._tag_density
 
@@ -53,7 +57,9 @@ class Hashgraph(Hashtable):
             raise RuntimeError("graph already has tags")
         self._tag_density = d
 
+    @property
     def n_tags(self):
+        """Count of all tags (a property, reference graphs.pyx:722)."""
         return len(self.all_tags)
 
     def add_tag(self, kmer):
@@ -328,15 +334,21 @@ class Hashgraph(Hashtable):
         return subset
 
     def find_all_tags(self, kmer):
-        """PrePartitionInfo for one seed k-mer (graphs.pyx:763-775)."""
+        """PrePartitionInfo for one seed k-mer; the seed is then ADDED
+        to the tag set — the reference binding tags every queried seed
+        (graphs.pyx:763-775, add_kmer_to_tags after the search)."""
         h = self.hash(kmer) if isinstance(kmer, str) else int(kmer)
-        return self.partition.find_all_tags(h)
+        ppi = self.partition.find_all_tags(h)
+        self.all_tags.add(h)
+        return ppi
 
     def find_all_tags_list(self, kmer):
-        """HashSet of tags connected to this k-mer (graphs.pyx:658-669)."""
+        """HashSet of tags connected to this k-mer, WITHOUT tagging the
+        seed (graphs.pyx:658-669)."""
         from khmer_tpu.hashset import HashSet
 
-        ppi = self.find_all_tags(kmer)
+        h = self.hash(kmer) if isinstance(kmer, str) else int(kmer)
+        ppi = self.partition.find_all_tags(h)
         hs = HashSet(self._ksize)
         hs.update(ppi.tagged_kmers)
         return hs

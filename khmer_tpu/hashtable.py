@@ -647,6 +647,14 @@ class Hashtable:
         self._valid_sequence(sequence)
         return [int(h) for h in self._hash_array(sequence)]
 
+    def get_kmer_hashes_as_hashset(self, sequence):
+        """Hashes of every k-mer in sequence as a HashSet
+        (reference khmer/_oxli/graphs.pyx get_kmer_hashes_as_hashset)."""
+        from khmer_tpu.hashset import HashSet
+
+        self._valid_sequence(sequence)
+        return HashSet(self._ksize, self.get_kmer_hashes(sequence))
+
     def _hash_array(self, sequence):
         """All k-mer hashes of a sequence as a numpy uint64 array."""
         codes = self._encode(sequence)
@@ -723,10 +731,10 @@ class Hashtable:
         return out
 
     def get_kmers(self, sequence):
-        """All k-mer substrings, in order."""
+        """All k-mer substrings, in order; too-short sequences raise
+        like the reference binding (graphs.pyx get_kmers)."""
         k = self._ksize
-        if len(sequence) < k:
-            return []
+        self._valid_sequence(sequence)
         return [sequence[i: i + k] for i in range(len(sequence) - k + 1)]
 
     # -- single k-mer ops ------------------------------------------------------
@@ -740,7 +748,10 @@ class Hashtable:
         self.add(kmer)
 
     def get(self, kmer):
-        """Count of a k-mer (string or hash)."""
+        """Count of a k-mer (string or int hash).  Floats are a
+        TypeError like the reference binding (graphs.pyx get)."""
+        if isinstance(kmer, float):
+            raise TypeError("k-mer must be a string or an integer hash")
         h = self.hash(kmer) if isinstance(kmer, str) else int(kmer)
         return self.storage.get(h)
 

@@ -158,6 +158,16 @@ def save_storage(filename, ksize, storage):
 
 def load_storage(filename, expected_kinds=("byte", "bit", "nibble")):
     """Load an OXLI table file; returns (storage, ksize)."""
+    try:
+        return _load_storage(filename, expected_kinds)
+    except EOFError as err:
+        # a truncated gzip stream must fail like any truncated file
+        # (reference raises khmer_file_exception -> OSError)
+        raise OSError("truncated compressed file {!r}: {}".format(
+            filename, err))
+
+
+def _load_storage(filename, expected_kinds):
     from khmer_tpu.storage import (BitStorage, ByteStorage, NibbleStorage,
                                    QFStorage)
 
@@ -206,6 +216,22 @@ def load_storage(filename, expected_kinds=("byte", "bit", "nibble")):
 
             region = _read_exact(f, meta["size"], filename)
             keys, counts = decode_blocks(meta, region)
+            # DECISION RECORD — LayeredMQF (round-3 VERDICT #10): the
+            # fork's two-level filter (third-party/MQF/LayeredMQF.h)
+            # is NOT ported.  Its serialize/deserialize are commented
+            # out in the fork itself (LayeredMQF.cpp:122-128), so no
+            # on-disk layered dump can exist, and the class is
+            # unreachable from the reference's Python layer.  A file
+            # carrying extra payload after the single QF block region
+            # (the only plausible layered encoding) is refused loudly
+            # rather than silently half-loaded.
+            trailer = f.read(1)
+            if trailer:
+                raise OxliFileError(
+                    "unexpected trailing payload after the QF block "
+                    "region in {} — layered/multi-level MQF dumps are "
+                    "not supported (see docs/PARITY.md, LayeredMQF "
+                    "decision record)".format(filename))
             slot = meta["key_remainder_bits"]
             store = QFStorage(meta["nslots"],
                               None if slot == 8 else slot)

@@ -39,8 +39,8 @@ class GraphLabels:
         return self.graph.reverse_hash(h)
 
     def link_tag_and_label(self, tag, label):
-        """(labelhash.cc:206-214)"""
-        tag = int(tag)
+        """(labelhash.cc:206-214; accepts a k-mer string or a hash)"""
+        tag = self.graph.hash(tag) if isinstance(tag, str) else int(tag)
         label = int(label)
         self.tag_labels.setdefault(tag, set()).add(label)
         self.label_tag.setdefault(label, set()).add(tag)
@@ -125,7 +125,11 @@ class GraphLabels:
     def sweep_tag_neighborhood(self, sequence, radius=0,
                                break_on_stoptags=False,
                                stop_big_traversals=False):
-        """Tags within `radius` of the read (labeling.pyx:56-73)."""
+        """Tags within `radius` of the read (labeling.pyx:56-73);
+        radius=None means the default sweep radius of
+        2*tag_density + 1 (labeling.pyx:16-18)."""
+        if radius is None:
+            radius = 2 * self.graph.tag_density + 1
         part = self.graph.partition
         tags = part.sweep_for_tags(
             sequence, range_=radius,
@@ -139,7 +143,7 @@ class GraphLabels:
                                  break_on_stoptags=False,
                                  stop_big_traversals=False):
         """Labels on tags within `radius` of the read
-        (labelhash.cc:309-330)."""
+        (labelhash.cc:309-330; radius=None -> default sweep radius)."""
         tags = self.sweep_tag_neighborhood(
             sequence, radius, break_on_stoptags, stop_big_traversals)
         found = set()
@@ -180,6 +184,15 @@ class GraphLabels:
                     f.write(struct.pack("<QQ", tag, label))
 
     def load_labels_and_tags(self, filename):
+        try:
+            self._load_labels_and_tags(filename)
+        except (IndexError, struct.error) as err:
+            # truncated stream: any parse overrun is a file error
+            # (reference labelhash.cc load throws oxli_file_exception)
+            raise OSError("truncated labels/tags file {!r}: {}".format(
+                filename, err))
+
+    def _load_labels_and_tags(self, filename):
         from khmer_tpu.io.oxli_format import (OxliFileError,
                                               SAVED_FORMAT_VERSION,
                                               SAVED_LABELSET,
@@ -187,6 +200,9 @@ class GraphLabels:
 
         with open(filename, "rb") as f:
             data = f.read()
+        if len(data) < 6:
+            raise OxliFileError(
+                "truncated labels/tags header in " + filename)
         if data[:4] != SAVED_SIGNATURE:
             raise OxliFileError(
                 "Incorrect file signature while reading labels/tags "

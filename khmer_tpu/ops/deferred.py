@@ -106,7 +106,9 @@ def _force(x):
 @contextmanager
 def stage(name, lanes=0, sync=None):
     """Accumulate wall time (and lane counts) per pipeline stage when
-    KHMER_TPU_TIMING is set; otherwise free."""
+    KHMER_TPU_TIMING is set; otherwise free.  In timing mode each
+    stage drains the device queue (accurate on CPU/PCIe backends; the
+    axon tunnel can report barriers early — see memory notes)."""
     if not _TIMING:
         yield
         return
@@ -114,8 +116,26 @@ def stage(name, lanes=0, sync=None):
     yield
     if sync is not None:
         _force(sync)
+    else:
+        try:
+            jax.effects_barrier()
+        except Exception:
+            pass
     STAGE_TIMES[name] += time.perf_counter() - t0
     STAGE_LANES[name] += int(lanes)
+
+
+if _TIMING and os.environ.get("KHMER_TPU_TIMING_OUT"):
+    import atexit as _atexit
+    import json as _json
+
+    def _dump_stage_times(path=os.environ["KHMER_TPU_TIMING_OUT"]):
+        with open(path, "w") as f:
+            _json.dump({"times_s": {k: round(v, 4)
+                                    for k, v in STAGE_TIMES.items()},
+                        "lanes": dict(STAGE_LANES)}, f)
+
+    _atexit.register(_dump_stage_times)
 
 
 def _next_pow2(n):
@@ -350,6 +370,10 @@ class DeferredCounter:
                 max_cap = min(2 * self.MERGE_EVERY, max_cap)
         max_cap = max(int(max_cap), 2 * chunk_lanes)
         self.max_cap = _next_pow2(max_cap)
+        # the ledger holds DISTINCT lanes only — give it more headroom
+        # than the append buffer before the overflow fallback degrades
+        # the n_unique estimator to sequential-batch semantics
+        self.max_ledger = 4 * self.max_cap
         self.chunk_lanes = chunk_lanes
         self.storage = storage
         self.spec = storage._read_spec()
@@ -481,7 +505,7 @@ class DeferredCounter:
         if n == 0:
             return
         block = min(_next_pow2(n), int(ck.shape[0]))
-        if self.ledger_fill + block > self.max_cap:
+        if self.ledger_fill + block > self.max_ledger:
             self._ledger_overflow()
         self._ledger_room(self.ledger_fill + block)
         with stage("ledger", lanes=block):

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from khmer_tpu.ops.deferred import stage
 from khmer_tpu.ops.sketch_ops import SketchSpec, _bin_idx
 
 U8 = jnp.uint8
@@ -163,6 +164,10 @@ def _route_with_leftover(hashes, weights, n_shards, cap):
 
 
 _AXES = ("data", "shard")  # banding flattens both mesh axes: D*S bands
+
+# comm/compute accounting of the most recent finish() on this process
+# (read by benchmarks/bench_scaling.py for the decomposition table)
+LAST_CONSUME_STATS = {}
 
 
 @lru_cache(maxsize=None)
@@ -537,8 +542,9 @@ class ShardedDeferredConsumer:
         else:
             packed = jax.device_put(
                 stack.reshape(self.D, self.S, packed_len), self.lane_sh)
-        self.keys, self.consumed = self._append(
-            self.keys, jnp.int32(self.fill), self.consumed, packed)
+        with stage("shard-append", lanes=self.chunk_lanes):
+            self.keys, self.consumed = self._append(
+                self.keys, jnp.int32(self.fill), self.consumed, packed)
         self.fill += self.chunk_lanes
 
     def _merge(self):
@@ -550,8 +556,9 @@ class ShardedDeferredConsumer:
                      self.cap)
         step = make_sharded_merge_step(self.mesh, self.survivors == 0,
                                        bucket)
-        self.keys, self.wgts, nv = step(self.keys, self.wgts,
-                                        jnp.int32(self.survivors))
+        with stage("shard-merge", lanes=bucket):
+            self.keys, self.wgts, nv = step(self.keys, self.wgts,
+                                            jnp.int32(self.survivors))
         self.fill = int(np.asarray(self._max(nv)))
         self.survivors = self.fill
         self._merge_at = min(max(dfr.MIN_MERGE, 2 * self.fill), self.cap)
@@ -603,14 +610,22 @@ class ShardedDeferredConsumer:
         first = make_routed_collect_step(self.mesh, F, cap_dest, True)
         drain = make_routed_collect_step(self.mesh, F, cap_dest, False)
         loff = 0
+        self.routed_bytes = 0      # all_to_all payload (12 B/lane)
+        self.route_rounds = 0
+        self.drain_rounds = 0
         for off in range(0, n, F):
             keys, wgts, step = self.keys, self.wgts, first
             woff = jnp.int32(off)
             while True:
                 self._ledger_room(loff + block)
-                out = step(self.ledger_k, self.ledger_w, keys, wgts,
-                           woff, jnp.int32(loff))
+                with stage("shard-route", lanes=block):
+                    out = step(self.ledger_k, self.ledger_w, keys, wgts,
+                               woff, jnp.int32(loff))
                 self.ledger_k, self.ledger_w, keys, wgts, n_left = out
+                self.routed_bytes += block * 12
+                self.route_rounds += 1
+                if step is drain:
+                    self.drain_rounds += 1
                 step, woff = drain, jnp.int32(0)
                 loff += block
                 if int(np.asarray(self._sum(n_left))) == 0:
@@ -622,8 +637,9 @@ class ShardedDeferredConsumer:
         bucket = min(max(dfr._next_pow2(self.ledger_fill),
                          dfr.MIN_BUCKET), self.ledger_cap)
         merge = make_sharded_merge_step(self.mesh, False, bucket)
-        ok, ow, nv = merge(self.ledger_k, self.ledger_w,
-                           jnp.int32(self.ledger_fill))
+        with stage("shard-owner-combine", lanes=bucket):
+            ok, ow, nv = merge(self.ledger_k, self.ledger_w,
+                               jnp.int32(self.ledger_fill))
         self.ledger_k = None
         self.ledger_w = None
         self.ledger_cap = 0
@@ -638,6 +654,7 @@ class ShardedDeferredConsumer:
             base_args = (jax.device_put(
                 base_table, NamedSharding(self.mesh, P())),)
         for off in range(0, max(n_max, 1), Fw):
+          with stage("shard-flush", lanes=Fw * self.spec.n_tables):
             out = flush(self.tables, self.uniq, ok, ow,
                         jnp.int32(off), *base_args)
             self.tables, self.uniq = out[0], out[1]
@@ -654,4 +671,13 @@ class ShardedDeferredConsumer:
         delta = self._reduce(self.tables)
         n_unique = int(np.asarray(self._sum(self.uniq)))
         n_consumed = int(np.asarray(self._sum(self.consumed)))
+        LAST_CONSUME_STATS.clear()
+        LAST_CONSUME_STATS.update(
+            routed_bytes=self.routed_bytes,
+            route_rounds=self.route_rounds,
+            drain_rounds=self.drain_rounds,
+            n_distinct_max=n_max,
+            n_consumed=n_consumed,
+            devices=self.NS,
+        )
         return delta, n_unique, n_consumed, self.bigcount_candidates

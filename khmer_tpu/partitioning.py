@@ -363,6 +363,16 @@ class SubsetPartition:
     def load_partitionmap(self, filename):
         self.merge_from_disk(filename)
 
+    def _validate_partitionmap(self):
+        """Sanity-check the tag->partition map (reference
+        subset.cc _validate_pmap: every mapped partition id must be
+        registered in the reverse map)."""
+        for tag, pid in self.partition_map.items():
+            if pid is not None and pid not in self._rev:
+                raise RuntimeError(
+                    "invalid partition map: pid {} unregistered".format(
+                        pid))
+
     def merge_from_disk(self, filename):
         """Merge a pmap file: equal disk ids unify tags locally
         (subset.cc:1006-1157)."""
@@ -375,6 +385,9 @@ class SubsetPartition:
         if len(data) == 18:
             raise OxliFileError(
                 filename + " contains only a header and no partition IDs.")
+        if len(data) < 18:
+            raise OxliFileError(
+                "truncated subset pmap header in " + filename)
         if data[:4] != SAVED_SIGNATURE:
             raise OxliFileError(
                 "Incorrect file signature while reading subset pmap from "
@@ -393,6 +406,13 @@ class SubsetPartition:
             raise OxliFileError(
                 "Incorrect k-mer size {} while reading subset pmap "
                 "from {}".format(ksize, filename))
+        (expected_pmap_size,) = struct.unpack_from("<Q", data, 10)
+        loaded = (len(data) - 18) // 12
+        if loaded != expected_pmap_size or (len(data) - 18) % 12:
+            # truncated payload (reference subset.cc:1150-1153
+            # "invalid # of items")
+            raise OxliFileError(
+                "error loading partitionmap - invalid # of items")
         off = 18
         diskp_to_pid = {}
         while off + 12 <= len(data):

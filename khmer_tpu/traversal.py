@@ -344,9 +344,12 @@ def fr_from_hash_codes(codes):
 def traverse_linear_path(graph, kmer, adjacencies, visited, stop_filter,
                          hdns=None):
     """Walk the linear path containing kmer, stopping at high-degree
-    nodes (collected into `adjacencies`) and at k-mers already in the
-    `stop_filter` Bloom filter; visited k-mers are added to `visited`
-    and to the filter.  Returns the path size.  (Reconstructed from
+    nodes (collected into `adjacencies` AND marked in the
+    `stop_filter` Bloom filter) and at k-mers already in the filter.
+    Visited k-mers are per-call output only — they are NOT added to
+    the filter, so the same path can be traversed again from its other
+    end (reference test_nodegraph.py::test_traverse_linear_path_2
+    pins this).  Returns the path size.  (Reconstructed from
     hashgraph.hh:401-404 / graphs.pyx:608-623.)"""
     k = graph.ksize()
     if hdns is None:
@@ -362,6 +365,8 @@ def traverse_linear_path(graph, kmer, adjacencies, visited, stop_filter,
         c = int(min(f, r))
         if c in hdns:
             adjacencies.add(c)
+            if stop_filter is not None:
+                stop_filter.add(c)
             continue
         if c in local_seen or c in visited:
             continue
@@ -369,8 +374,6 @@ def traverse_linear_path(graph, kmer, adjacencies, visited, stop_filter,
             continue
         local_seen.add(c)
         visited.add(c)
-        if stop_filter is not None:
-            stop_filter.add(c)
         size += 1
         nf, nr, ncanon, _ = _expand(
             graph, np.array([f], np.uint64), np.array([r], np.uint64), k)

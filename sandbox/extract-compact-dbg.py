@@ -66,11 +66,15 @@ class SegmentTracker:
 
 def walk_unitig(graph, seed, stop_bf, tracker, hdns):
     """Trace the linear path from one HDN neighbor; register it as a
-    segment and connect it to the HDNs it reaches."""
-    size, conns, _visited = graph.traverse_linear_path(seed, hdns,
-                                                       stop_filter=stop_bf)
+    segment and connect it to the HDNs it reaches.  The walked nodes
+    are marked in the shared stop bloom so each unitig is counted
+    exactly once (a path between two HDNs is reachable from both)."""
+    size, conns, visited = graph.traverse_linear_path(seed, hdns,
+                                                      stop_filter=stop_bf)
     if not size:
         return
+    for node in visited:
+        stop_bf.add(node)
     sid = tracker.new_unitig(size)
     for hdn in conns:
         other = tracker.id_of_hdn.get(hdn)

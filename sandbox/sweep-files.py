@@ -108,7 +108,7 @@ def main():
 
     print('done consuming input sequence. '
           'added {t} tags and {l} labels...'.format(
-              t=labels.graph.n_tags(), l=labels.n_labels),
+              t=labels.graph.n_tags, l=labels.n_labels),
           file=sys.stderr)
 
     n_labeled = 0

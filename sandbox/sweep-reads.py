@@ -231,7 +231,7 @@ def main():
             write_record(record, outfp)
 
     print('done consuming input sequence. added {t} tags and {l} '
-          'labels...'.format(t=ht.graph.n_tags(), l=ht.n_labels),
+          'labels...'.format(t=ht.graph.n_tags, l=ht.n_labels),
           file=sys.stderr)
 
     label_dict = defaultdict(int)
@@ -248,6 +248,8 @@ def main():
             read_fp = FastxReader(read_file)
         except (IOError, OSError) as error:
             print('!! ERROR: !!', error, file=sys.stderr)
+            print('*** Could not open {fn}, skipping...'.format(
+                fn=read_file), file=sys.stderr)
             continue
         for _, record in enumerate(read_fp):
             if len(record.sequence) < K:
@@ -256,23 +258,27 @@ def main():
             name = record.name
 
             labels = ht.sweep_label_neighborhood(
-                seq, radius=traversal_range or 0)
+                seq, radius=traversal_range)
             label_number_dist.append(len(labels))
+            if getattr(record, 'quality', None) is not None:
+                seq_str = fmt_fastq(name, seq, record.quality, labels)
+            else:
+                seq_str = fmt_fasta(name, seq, labels)
             if labels:
                 n_labeled += 1
                 if len(labels) > 1:
+                    # multi-labeled reads go to ONE 'multi' bucket
+                    # (reference sweep-reads.py:384-387)
+                    output_buffer.queue(seq_str, 'multi')
                     n_mlabeled += 1
                     label_dict['multi'] += 1
                 else:
+                    output_buffer.queue(seq_str, labels[0])
                     label_dict[labels[0]] += 1
-                if getattr(record, 'quality', None) is not None:
-                    seq_str = fmt_fastq(name, seq, record.quality, labels)
-                else:
-                    seq_str = fmt_fasta(name, seq, labels)
-                for label in labels:
-                    output_buffer.queue(seq_str, label)
             else:
                 n_orphaned += 1
+                output_buffer.queue(seq_str, 'orphaned')
+                label_dict['orphaned'] += 1
 
     output_buffer.flush_all()
 
@@ -285,6 +291,19 @@ def main():
         nc=n_labeled, no=n_orphaned), file=sys.stderr)
     print('...and {nmc} multilabeled'.format(nmc=n_mlabeled),
           file=sys.stderr)
+
+    # machine-readable outputs (reference sweep-reads.py:417-427)
+    print('** outputting label number distribution...', file=sys.stderr)
+    fn = os.path.join(outdir, '{pref}.dist.txt'.format(pref=args.output_prefix))
+    with open(fn, 'w', encoding='utf-8') as outfp:
+        for nc in label_number_dist:
+            outfp.write('{nc}\n'.format(nc=nc))
+
+    fn = os.path.join(outdir, '{pref}.counts.csv'.format(pref=args.output_prefix))
+    print('** outputting label read counts...', file=sys.stderr)
+    with open(fn, 'w', encoding='utf-8') as outfp:
+        for k in label_dict:
+            outfp.write('{l},{c}\n'.format(l=k, c=label_dict[k]))
 
 
 if __name__ == '__main__':

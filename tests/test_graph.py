@@ -1,19 +1,24 @@
-"""Graph traversal tests ported from the reference tests/test_graph.py
-(exact connected-component sizes on test-graph.fa + single-link cases)."""
+"""Graph-size / partitioning tests — the full port of the reference's
+tests/test_graph.py (28 tests): connected-component sizing on exact and
+collision-prone tables, partition counting on the random-20/31 data
+sets, and the find_all_tags/assign_partition_id API."""
 
 import pytest
 
 import khmer_tpu as khmer
 
+from . import khmer_tst_utils as utils
+from .khmer_tst_utils import screed_open
 
-class Test_ExactGraphFu:
+
+class Test_ExactGraphFu(object):
 
     def setup_method(self):
         self.ht = khmer.Nodegraph(12, 1e4, 2)
 
-    def test_counts(self, ref_test_data):
+    def test_counts(self):
         ht = self.ht
-        ht.consume_seqfile(ref_test_data + '/test-graph.fa')
+        ht.consume_seqfile(utils.get_test_data('test-graph.fa'))
 
         kmer = "TTAGGACTGCAC"
         x = ht.calc_connected_graph_size(kmer)
@@ -27,22 +32,300 @@ class Test_ExactGraphFu:
         x = ht.calc_connected_graph_size(kmer)
         assert x == 36, x
 
-    @pytest.mark.parametrize("base", "ACGT")
-    def test_graph_links_next(self, base):
+    def test_graph_links_next_a(self):
         ht = self.ht
         word = "TGCGTTTCAATC"
         ht.consume(word)
-        ht.consume(word[1:] + base)
+        ht.consume(word[1:] + "A")
 
         x = ht.calc_connected_graph_size(word)
         assert x == 2
 
-    @pytest.mark.parametrize("base", "ACGT")
-    def test_graph_links_prev(self, base):
+    def test_graph_links_next_c(self):
         ht = self.ht
         word = "TGCGTTTCAATC"
         ht.consume(word)
-        ht.consume(base + word[:-1])
+        ht.consume(word[1:] + "C")
 
         x = ht.calc_connected_graph_size(word)
         assert x == 2
+
+    def test_graph_links_next_g(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume(word[1:] + "G")
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_next_t(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume(word[1:] + "T")
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_a(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("A" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_c(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("C" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_g(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("G" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_t(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("T" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+
+class Test_InexactGraphFu(object):
+    # same linkage walks on a deliberately collision-prone table
+
+    def setup_method(self):
+        self.ht = khmer.Nodegraph(12, 4 ** 3 + 1, 2)
+
+    def test_graph_links_next_a(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume(word[1:] + "A")
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_next_c(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume(word[1:] + "C")
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2, x
+
+    def test_graph_links_next_g(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume(word[1:] + "G")
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_next_t(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume(word[1:] + "T")
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_a(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("A" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_c(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("C" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_g(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("G" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+    def test_graph_links_prev_t(self):
+        ht = self.ht
+        word = "TGCGTTTCAATC"
+        ht.consume(word)
+        ht.consume("T" + word[:-1])
+
+        x = ht.calc_connected_graph_size(word)
+        assert x == 2
+
+
+class Test_Partitioning(object):
+
+    def test_output_unassigned(self):
+        filename = utils.get_test_data('random-20-a.fa')
+
+        ht = khmer.Nodegraph(21, 1, 1, primes=[5, 7, 11, 13])
+        ht.consume_seqfile_and_tag(filename)
+
+        output_file = utils.get_temp_filename('part0test')
+        ht.output_partitions(filename, output_file, True)
+
+        len1 = len(list(screed_open(filename)))
+        len2 = len(list(screed_open(output_file)))
+
+        assert len1 > 0
+        assert len1 == len2, (len1, len2)
+
+    def test_not_output_unassigned(self):
+        filename = utils.get_test_data('random-20-a.fa')
+
+        ht = khmer.Nodegraph(21, 1, 1, primes=[5, 7, 11, 13])
+        ht.consume_seqfile_and_tag(filename)
+
+        output_file = utils.get_temp_filename('parttest')
+        ht.output_partitions(filename, output_file, False)
+
+        len1 = len(list(screed_open(filename)))
+        len2 = len(list(screed_open(output_file)))
+
+        assert len1 > 0
+        assert len2 == 0, len2
+
+    def test_output_fq(self):
+        filename = utils.get_test_data('random-20-a.fq')
+
+        ht = khmer.Nodegraph(20, 1e4, 4)
+        ht.consume_seqfile_and_tag(filename)
+        subset = ht.do_subset_partition(0, 0)
+        ht.merge_subset(subset)
+
+        output_file = utils.get_temp_filename('parttest')
+        ht.output_partitions(filename, output_file, False)
+
+        x = set([r.quality for r in screed_open(output_file)])
+        assert x, x
+
+    def test_disconnected_20_a(self):
+        filename = utils.get_test_data('random-20-a.fa')
+
+        ht = khmer.Nodegraph(21, 1e5, 4)
+        ht.consume_seqfile_and_tag(filename)
+
+        subset = ht.do_subset_partition(0, 0)
+        x = subset.count_partitions()
+        assert x == (99, 0), x             # disconnected @ 21
+
+    def test_connected_20_a(self):
+        filename = utils.get_test_data('random-20-a.fa')
+
+        ht = khmer.Nodegraph(20, 1e4, 4)
+        ht.consume_seqfile_and_tag(filename)
+
+        subset = ht.do_subset_partition(0, 0)
+        x = subset.count_partitions()
+        assert x == (1, 0)             # connected @ 20
+
+    def test_disconnected_20_b(self):
+        filename = utils.get_test_data('random-20-b.fa')
+
+        ht = khmer.Nodegraph(21, 1e4, 4)
+        ht.consume_seqfile_and_tag(filename)
+
+        subset = ht.do_subset_partition(0, 0)
+        x = subset.count_partitions()
+        assert x == (99, 0), x             # disconnected @ 21
+
+    def test_connected_20_b(self):
+        filename = utils.get_test_data('random-20-b.fa')
+
+        ht = khmer.Nodegraph(20, 1e4, 4)
+        ht.consume_seqfile_and_tag(filename)
+
+        subset = ht.do_subset_partition(0, 0)
+        x = subset.count_partitions()
+        assert x == (1, 0)             # connected @ 20
+
+    def test_disconnected_31_c(self):
+        filename = utils.get_test_data('random-31-c.fa')
+
+        ht = khmer.Nodegraph(32, 1e6, 4)
+        ht.consume_seqfile_and_tag(filename)
+
+        subset = ht.do_subset_partition(0, 0)
+        x = subset.count_partitions()
+        assert x == (999, 0), x            # disconnected @ K = 32
+
+    def test_connected_31_c(self):
+        filename = utils.get_test_data('random-31-c.fa')
+
+        ht = khmer.Nodegraph(31, 1e5, 4)
+        ht.consume_seqfile_and_tag(filename)
+
+        subset = ht.do_subset_partition(0, 0)
+        x = subset.count_partitions()
+        assert x == (1, 0)             # connected @ K = 31
+
+
+class Test_PythonAPI(object):
+
+    def test_find_all_tags_kmersize(self):
+        ht = khmer.Nodegraph(20, 4 ** 4 + 1, 2)
+
+        a = "ATTGGGACTCTGGGAGCACTTATCATGGAGAT"
+        c = ("GGAGCACTTATCATGGAGATATATCCCGTGCTTAAACATCGCACTTTAACCCTGCA"
+             "GAGT")
+
+        ht.consume(a)
+        with pytest.raises(ValueError):
+            ht.find_all_tags(c[:19])
+
+        with pytest.raises(ValueError):
+            ht.find_all_tags(c[:21])
+
+    def test_ordered_connect(self):
+        ht = khmer.Nodegraph(20, 4 ** 4 + 1, 2)
+
+        a = "ATTGGGACTCTGGGAGCACTTATCATGGAGAT"
+        b = "GAGCACTTTAACCCTGCAGAGTGGCCAAGGCT"
+        c = ("GGAGCACTTATCATGGAGATATATCCCGTGCTTAAACATCGCACTTTAACCCTGCA"
+             "GAGT")
+
+        ht.consume(a)
+        ppi = ht.find_all_tags(a[:20])
+        pid = ht.assign_partition_id(ppi)
+        assert pid == 0, pid
+
+        ht.consume(b)
+        ppi = ht.find_all_tags(b[:20])
+        pid = ht.assign_partition_id(ppi)
+        assert pid == 0, pid
+
+        ht.consume(c)
+        ppi = ht.find_all_tags(c[:20])
+        pid = ht.assign_partition_id(ppi)
+        assert pid == 2, pid

