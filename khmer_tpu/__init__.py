@@ -42,6 +42,7 @@ from khmer_tpu.graph import (
     SmallCountgraph,
     Nodegraph,
 )
+from khmer_tpu.legacy import Hashbits, new_hashbits, new_hashtable
 from khmer_tpu.hllcounter import HLLCounter
 from khmer_tpu.hashset import HashSet
 from khmer_tpu.readaligner import ReadAligner

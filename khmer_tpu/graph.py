@@ -583,6 +583,22 @@ class Hashgraph(Hashtable):
         return divvy
 
 
+    # -- khmer 1.x/2.x compat names (see khmer_tpu/legacy.py) -------------
+
+    def consume_fasta_and_tag(self, parser_or_filename):
+        """1.x name for consume_seqfile_and_tag."""
+        return self.consume_seqfile_and_tag(parser_or_filename)
+
+    def consume_fasta_and_tag_with_reads_parser(self, parser):
+        """1.x name for consume_seqfile_and_tag on an open parser."""
+        return self.consume_seqfile_and_tag(parser)
+
+    def consume_fasta_and_tag_with_stoptags(self, parser_or_filename):
+        """1.x name for consume_seqfile_and_tag_with_stoptags."""
+        return self.consume_seqfile_and_tag_with_stoptags(
+            parser_or_filename)
+
+
 class Countgraph(Hashgraph):
     """8-bit counting de Bruijn graph (2-bit exact hash, k <= 32)."""
 

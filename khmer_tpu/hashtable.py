@@ -1124,6 +1124,28 @@ class Hashtable:
             j += 1
         return posns
 
+    # -- khmer 1.x/2.x compat (see khmer_tpu/legacy.py) -----------------------
+
+    def consume_fasta(self, parser_or_filename):
+        """1.x name for consume_seqfile (_cpy_khmer.cc hash_consume_fasta)."""
+        return self.consume_seqfile(parser_or_filename)
+
+    def consume_fasta_with_reads_parser(self, parser):
+        """1.x name for consume_seqfile on an open parser."""
+        return self.consume_seqfile(parser)
+
+    def output_fasta_kmer_pos_freq(self, inputfile, outputfile):
+        """Per-read window-count dump (lib/counting.cc)."""
+        from khmer_tpu import legacy
+        return legacy.output_fasta_kmer_pos_freq(self, inputfile, outputfile)
+
+    def fasta_count_kmers_by_position(self, inputfile, max_read_len,
+                                      limit_by_count=0):
+        """Positional window-count tallies (lib/counting.cc)."""
+        from khmer_tpu import legacy
+        return legacy.fasta_count_kmers_by_position(
+            self, inputfile, max_read_len, limit_by_count)
+
     # -- abundance distribution ---------------------------------------------------
 
     def abundance_distribution(self, parser_or_filename, tracking):

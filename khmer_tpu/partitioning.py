@@ -570,24 +570,47 @@ class SubsetPartition:
     # -- repartition / stop-tag generation --------------------------------
 
     def find_unpart(self, infilename, traverse, stop_big_traversals):
-        """Assign partitions to reads whose tags are unpartitioned
-        (subset.cc find_unpart)."""
+        """Consume, tag, and partition reads not yet in any partition.
+
+        Reconstructed from the reference's binding
+        (src/khmer/_cpy_khmer.cc:1831-1860 hashtable_find_unpart; the
+        SubsetPartition::find_unpart body predates the grafted tree)
+        and its test goldens (tests/test_hashbits.py find_unpart
+        family): a read whose in-read tags already carry a partition
+        is skipped; any other read is consumed + tagged, counted as a
+        singleton, and its tags are partitioned together — joined
+        with every tag reachable by graph traversal when `traverse`
+        is set, in isolation otherwise (odd+even split of
+        random-20-a.fa: 49 -> 1 partition with traversal, 49 -> 99
+        without).  Returns the singleton count.
+        """
         from khmer_tpu.io.fastx import FastxReader
 
-        n = 0
+        graph = self.graph
+        n_singletons = 0
         for read in FastxReader(infilename):
             seq = read.cleaned_seq
-            if len(seq) < self.graph.ksize():
+            if len(seq) < graph.ksize():
                 continue
-            tags = self.sweep_for_tags(
-                seq, stop_big_traversals=stop_big_traversals) \
-                if traverse else {
-                    int(h) for h in self.graph._hash_array(seq)
-                    if int(h) in self.graph.all_tags}
-            if tags:
-                self.assign_partition_id(next(iter(tags)), tags)
-                n += 1
-        return n
+            hashes = graph._hash_array(seq)
+            read_tags = {int(h) for h in hashes
+                         if int(h) in graph.all_tags}
+            if any(self.partition_map.get(t) is not None
+                   for t in read_tags):
+                continue
+            graph.consume_and_tag(seq, read_tags)
+            read_tags |= {int(h) for h in hashes
+                          if int(h) in graph.all_tags}
+            n_singletons += 1
+            if not read_tags:
+                continue
+            if traverse:
+                seeds = sorted(read_tags)
+                for ppi in self.find_all_tags_batch(
+                        seeds, False, stop_big_traversals):
+                    read_tags |= {int(t) for t in ppi.tagged_kmers}
+            self.assign_partition_id(next(iter(read_tags)), read_tags)
+        return n_singletons
 
     def repartition_largest_partition(self, distance, threshold, frequency,
                                       counting):
