@@ -202,3 +202,300 @@ def test_abundance_distribution_of_all_A():
 
     assert sum(dist) == 1
     assert dist[10] == 1
+
+
+# -- round 3: the reference's remaining test_counting_single.py cases,
+# under their original names (the table-driven tests above cover the
+# same behaviors; these keep the reference's per-case shape so the
+# suites map one-to-one).
+
+from . import khmer_tst_utils as utils  # noqa: E402
+
+
+@pytest.mark.huge
+def test_toobig():
+    try:
+        khmer.Countgraph(4, 1000000000000, 1)
+        assert 0, "this should fail"
+    except MemoryError as err:
+        print(str(err))
+
+
+def test_collision():
+    kh = khmer.Countgraph(4, 100, 1)
+
+    kh.count('AAAA')
+    assert kh.get('AAAA') == 1
+
+    kh.count('TTTT')   # rc of AAAA
+    assert kh.get('TTTT') == 2
+
+
+def test_badcount():
+    countgraph = khmer.Countgraph(4, 100, 1)
+    try:
+        countgraph.count()
+        assert 0, "count should require one argument"
+    except TypeError as err:
+        print(str(err))
+    try:
+        countgraph.count('ABCDE')
+        assert 0, "count should require k-mer size to be equal"
+    except ValueError as err:
+        print(str(err))
+
+
+def test_complete_2_collision():
+    kh = khmer.Countgraph(4, 7, 1)
+
+    n_entries = kh.hashsizes()[0]
+    for i in range(0, n_entries):
+        s = khmer.reverse_hash(i, 4)
+        kh.count(s)
+
+    n_rc_filled = 0
+    for i in range(0, 128):
+        s = khmer.reverse_hash(i, 4)
+        if kh.get(s):                   # string hashing is rc aware
+            n_rc_filled += 1
+
+    assert n_rc_filled == 128, n_rc_filled
+
+
+def test_complete_4_collision():
+    kh = khmer.Countgraph(4, 5, 1)
+
+    n_entries = kh.hashsizes()[0]
+    for i in range(0, n_entries):
+        s = khmer.reverse_hash(i, 4)
+        kh.count(s)
+
+    n_rc_filled = 0
+    for i in range(0, 64):
+        s = khmer.reverse_hash(i, 4)
+        if kh.get(s):
+            n_rc_filled += 1
+
+    assert n_rc_filled == 64, n_rc_filled
+
+
+def test_maxcount():
+    # hashtable should saturate so as not to overflow its counter
+    kh = khmer.Countgraph(4, 100, 1)
+
+    last_count = None
+    for _ in range(0, 10000):
+        kh.count('AAAA')
+        c = kh.get('AAAA')
+        if c == last_count:
+            break
+        last_count = c
+
+    assert c != 10000, "should not be able to count to 10000"
+    assert c == MAX_COUNT
+
+
+def test_maxcount_with_bigcount():
+    # hashtable should not saturate if use_bigcount is set
+    kh = khmer.Countgraph(4, 100, 1)
+    kh.set_use_bigcount(True)
+
+    last_count = None
+    for _ in range(0, 10000):
+        kh.count('AAAA')
+        c = kh.get('AAAA')
+        if c == last_count:
+            break
+        last_count = c
+
+    assert c == 10000, "should be able to count to 10000"
+    assert c != MAX_COUNT
+
+
+def test_consume_uniqify_first():
+    kh = khmer.Countgraph(4, 100, 1)
+
+    s = "TTTT"
+    s_rc = "AAAA"
+
+    kh.consume(s)
+    n = kh.get(s_rc)
+    assert n == 1
+
+
+def test_maxcount_consume():
+    kh = khmer.Countgraph(4, 100, 1)
+
+    s = "A" * 10000
+    kh.consume(s)
+
+    c = kh.get('AAAA')
+    assert c == MAX_COUNT, c
+
+
+def test_maxcount_consume_with_bigcount():
+    # use the bigcount hack to avoid saturating the hashtable
+    kh = khmer.Countgraph(4, 100, 1)
+    kh.set_use_bigcount(True)
+
+    s = "A" * 10000
+    kh.consume(s)
+
+    c = kh.get('AAAA')
+    assert c == 10000 - 3, c
+
+
+def test_get_mincount():
+    kh = khmer.Countgraph(4, 100, 1)
+
+    s = "AAAAACGT"
+    kh.consume(s)
+
+    x = kh.get_min_count(s)
+    assert x == 1, x
+
+    kh.consume(s)
+    x = kh.get_min_count(s)
+    assert x == 2, x
+
+
+def test_get_maxcount():
+    kh = khmer.Countgraph(4, 9, 1)
+
+    s = "AAAAACGT"
+    kh.consume(s)
+
+    x = kh.get_max_count(s)
+    assert x == 2
+
+    kh.consume(s)
+    x = kh.get_max_count(s)
+    assert x == 4
+
+
+def test_get_maxcount_rc():
+    kh = khmer.Countgraph(4, 9, 1)
+
+    s = "AAAAACGT"
+    src = "ACGTTTTT"
+    kh.consume(s)
+
+    x = kh.get_max_count(s)
+    assert x == 2, x
+
+    kh.consume(src)
+    x = kh.get_max_count(s)
+    assert x == 4, x
+
+
+def test_get_mincount_rc():
+    kh = khmer.Countgraph(4, 100, 1)
+
+    s = "AAAAACGT"
+    src = "ACGTTTTT"
+
+    kh.consume(s)
+    x = kh.get_min_count(s)
+    assert x == 1, x
+
+    kh.consume(src)
+    x = kh.get_min_count(s)
+    assert x == 2
+
+
+def test_badget():
+    kh = khmer.Countgraph(6, 4 ** 10, 1)
+
+    DNA = "AGCTTTTCATTCTGACTGCAACGGGCAATATGTCTCTGTGTGGATTAAAAAAAGAGTGTCTGATAG"
+
+    kh.consume(DNA)
+
+    assert kh.get("AGCTTT") == 1
+    assert kh.get("GATGAG") == 0
+
+    try:
+        kh.get("AGCTT")
+        assert 0, "this should fail"
+    except ValueError as err:
+        print(str(err))
+
+
+def test_64bitshift():
+    kh = khmer.Countgraph(25, 4, 1)
+    fullstr = "GTATGCCAGCTCCAACTGGGCCGGTACGAGCAGGCCATTGCCTCTTGCCGCGATGCGTCGGCG"
+    substr = "ATGCCAGCTCCAACTGGGCCGGTACGAGCAGGCCATTGCCTCTTGC"
+
+    kh.consume(fullstr)
+    assert 0 < kh.get_min_count(substr), kh.get_min_count(substr)
+
+
+def test_64bitshift_2():
+    kh = khmer.Countgraph(25, 4, 1)
+    fullstr = "GTATGCCAGCTCCAACTGGGCCGGTACGAGCAGGCCATTGCCTCTTGCCGCGATGCGTCGGCG"
+
+    kh.consume(fullstr)
+    for i in range(len(fullstr) - 25 + 1):
+        substr = fullstr[i:i + 25]
+        assert kh.get(substr) > 0
+
+
+class Test_ConsumeString(object):
+
+    def setup_method(self):
+        self.kh = khmer.Countgraph(4, 1, 1, primes=[4 ** 4])
+
+    def test_n_occupied(self):
+        assert self.kh.n_occupied() == 0
+        self.kh.consume('AAAA')
+        assert self.kh.n_occupied() == 1
+        self.kh.consume('AACT')
+        assert self.kh.n_occupied() == 2
+        try:
+            self.kh.n_occupied("MU", 1, 3)
+            assert 0, "n_occupied shouldn't accept three arguments"
+        except TypeError as err:
+            print(str(err))
+
+    def test_simple(self):
+        n = self.kh.consume('AAAA')
+        assert n == 1
+        assert self.kh.get(0) == 1
+
+    def test_simple_2(self):
+        n = self.kh.consume('AAAAA')
+        assert n == 2
+        assert self.kh.get(0) == 2
+
+    def test_simple_rc(self):
+        n = self.kh.consume('TTTTT')
+        assert n == 2
+        assert self.kh.get(0) == 2
+
+    def test_min_count(self):
+        self.kh.consume('AAAA')
+
+        count = self.kh.get_min_count('AAAA')
+        assert count == 1
+
+    def test_max_count(self):
+        self.kh.consume('AAAA')
+
+        count = self.kh.get_max_count('AAAA')
+        assert count == 1
+
+
+class Test_AbundanceDistribution(object):
+
+    def setup_method(self):
+        self.kh = khmer.Countgraph(4, 100, 1)
+        A_filename = utils.get_test_data('all-A.fa')
+        self.kh.consume_seqfile(A_filename)
+
+    def test_count_A(self):
+        A_filename = utils.get_test_data('all-A.fa')
+
+        tracking = khmer.Nodegraph(4, 7, 1)
+        dist = self.kh.abundance_distribution(A_filename, tracking)
+
+        assert sum(dist) == 1
+        assert dist[10] == 1
