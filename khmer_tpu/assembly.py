@@ -146,16 +146,20 @@ class SimpleLabeledAssembler:
         self.stop_filter = stop_filter
         self.linear_asm.stop_filter = stop_filter
 
-    def _label_intersect_filter(self, src_labels):
-        """(kmer_filters.cc:84-118): filter OUT tips (dst has exactly
-        the one shared label) and label-disjoint branches."""
+    def _label_intersect_filter(self, src_labels, min_cov=5):
+        """(kmer_filters.cc get_simple_label_intersect_filter): filter
+        OUT label-disjoint branches, and putative tips (dst carries
+        exactly the one shared label) — but the tip heuristic only
+        fires at label coverage >= min_cov (default 5,
+        kmer_filters.hh:61), so low-coverage bubbles keep both
+        branches."""
         lh = self.labels
         src = set(src_labels)
 
         def flt(canon):
             dst = set(lh.get_tag_labels(canon))
             inter = src & dst
-            if len(inter) == 1 and len(dst) == 1 and len(src) >= 2:
+            if len(inter) == 1 and len(dst) == 1 and len(src) >= min_cov:
                 return True  # putative tip
             if inter:
                 return False

@@ -133,19 +133,37 @@ class ReadAligner:
     """A*-guided pair-HMM alignment of a read against a Countgraph."""
 
     def __init__(self, count_graph, trusted_cov_cutoff=2, bits_theta=1.0,
-                 scoring_matrix=None, transitions=None):
+                 scoring_matrix=None, transitions=None,
+                 transition_probabilities=None, filename=None):
         self.graph = count_graph
         self.k = count_graph.ksize()
         self.bitmask = (1 << (2 * self.k)) - 1
         self.rc_left_shift = 2 * self.k - 2
         self.trusted_cutoff = trusted_cov_cutoff
         self.bits_theta = bits_theta
+        if filename is not None:
+            # params-file constructor (readaligner.pyx / _cpy_khmer.cc
+            # ReadAligner init with a JSON file of scoring_matrix +
+            # per-state transition_probabilities)
+            import json
+
+            with open(filename) as fp:
+                params = json.load(fp)
+            scoring_matrix = params["scoring_matrix"]
+            transition_probabilities = params["transition_probabilities"]
         if scoring_matrix is None:
             scoring_matrix = FREQ_DEFAULT
         (self.trusted_match, self.trusted_mismatch,
          self.untrusted_match, self.untrusted_mismatch) = scoring_matrix
-        self.tsc = list(transitions) if transitions is not None \
-            else list(TRANS_DEFAULT)
+        if transition_probabilities is not None:
+            # nested per-from-state shape (M_t, Ir_t, Ig_t, M_u, Ir_u,
+            # Ig_u) — the reference's public API shape
+            self.tsc = [float(x) for grp in transition_probabilities
+                        for x in grp]
+        elif transitions is not None:
+            self.tsc = list(transitions)
+        else:
+            self.tsc = list(TRANS_DEFAULT)
 
     # -- count access ------------------------------------------------------
 
@@ -515,9 +533,22 @@ class ReadAligner:
     def defaultScoringMatrix(self):
         return list(FREQ_DEFAULT)
 
+    # per-from-state group sizes of the flat transition table
+    # (M_t:6, Ir_t:4, Ig_t:4, M_u:6, Ir_u:4, Ig_u:4)
+    _TRANS_GROUPS = (6, 4, 4, 6, 4, 4)
+
+    @staticmethod
+    def _nest_transitions(flat):
+        out = []
+        i = 0
+        for n in ReadAligner._TRANS_GROUPS:
+            out.append(tuple(flat[i:i + n]))
+            i += n
+        return tuple(out)
+
     @property
     def defaultTransitionProbabilities(self):
-        return tuple(TRANS_DEFAULT)
+        return self._nest_transitions(TRANS_DEFAULT)
 
     @property
     def scoring_matrix(self):
@@ -526,4 +557,4 @@ class ReadAligner:
 
     @property
     def transition_probabilities(self):
-        return tuple(self.tsc)
+        return self._nest_transitions(self.tsc)

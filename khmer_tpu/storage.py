@@ -48,7 +48,8 @@ class Storage:
     def __init__(self, tablesizes, use_bigcount=False):
         tablesizes = tuple(int(t) for t in tablesizes)
         if not tablesizes:
-            raise ValueError("empty tablesizes")
+            raise ValueError(
+                "tablesizes needs to be one or more numbers")
         self._use_bigcount = bool(use_bigcount) and self.supports_bigcount
         self.spec = SketchSpec(
             kind=self.kind,

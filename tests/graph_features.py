@@ -171,3 +171,162 @@ def left_tip_structure(request, graph, random_sequence):
         request.applymarker(pytest.mark.xfail)
 
     return graph, sequence, L, HDN, R, tip
+
+
+@pytest.fixture(params=[K * 2, -K * 2],
+                ids=['(Where={0})'.format(i) for i in ['Start', 'End']])
+def right_double_fork_structure(request, linear_structure, random_sequence):
+    """
+                                               branch
+                                 ([S+1:S+K]+B)→o~~o→o
+    core_sequence               ↗
+    [0]→o→o~~o→(L)→([S:S+K] HDN)→(R)→o→o→o~~o→[-1]
+    """
+    graph, core_sequence = linear_structure
+    branch_sequence = random_sequence(exclude=core_sequence)
+
+    S = request.param
+    if S < 0:
+        S = len(core_sequence) + S
+    HDN = Kmer(core_sequence[S:S + K], pos=S)
+    L = Kmer(core_sequence[S - 1:S - 1 + K], pos=S - 1)
+    R = Kmer(core_sequence[S + 1:S + 1 + K], pos=S + 1)
+    # the branch sequence, mutated at position S+1
+    branch_start = core_sequence[:R.pos] + mutate_position(R, -1)
+    branch_sequence = branch_start + branch_sequence
+
+    graph.consume(core_sequence)
+    graph.consume(branch_sequence)
+
+    core_hdns = hdn_counts(core_sequence, graph)
+    branch_hdns = hdn_counts(branch_sequence, graph)
+    if core_hdns != {3: 1} or branch_hdns != {3: 1}:
+        request.applymarker(pytest.mark.xfail)
+
+    return graph, core_sequence, L, HDN, R, branch_sequence
+
+
+@pytest.fixture
+def right_triple_fork_structure(request, right_double_fork_structure,
+                                random_sequence):
+    """
+                                       top_branch
+                                ([:S+1]+B)→o~~o→o
+    core_sequence              ↗
+    [0]→o→o~~o→(L)→([S:S+K] HDN)→(R)→o→o→o~~o→[-1]
+                               ↘
+                                ([:S+1]+B)→o~~o→o
+                                     bottom_branch
+    """
+    (graph, core_sequence, L, HDN, R,
+     top_sequence) = right_double_fork_structure
+    bottom_branch = random_sequence(exclude=core_sequence + top_sequence)
+
+    # the branch sequence, mutated at position S+1; choose a base not
+    # already represented at that position
+    bases = {'A', 'C', 'G', 'T'}
+    mutated = random.choice(list(bases -
+                                 {R[-1], top_sequence[R.pos + K - 1]}))
+
+    bottom_sequence = core_sequence[:HDN.pos + K] + mutated + bottom_branch
+
+    graph.consume(bottom_sequence)
+
+    core_hdns = hdn_counts(core_sequence, graph)
+    top_hdns = hdn_counts(top_sequence, graph)
+    bottom_hdns = hdn_counts(bottom_sequence, graph)
+    if not (core_hdns == top_hdns == bottom_hdns == {4: 1}):
+        request.applymarker(pytest.mark.xfail)
+
+    return graph, core_sequence, L, HDN, R, top_sequence, bottom_sequence
+
+
+@pytest.fixture(params=[K * 2, -K * 2],
+                ids=['(Where={0})'.format(i) for i in ['Start', 'End']])
+def left_double_fork_structure(request, linear_structure, random_sequence):
+    """
+    o→o~~o→(B+[S:S+K-1])
+                        ↘                  core_sequence
+          [0]→o→o~~o→(L)→([S:S+K] HDN)→(R)→o→o→o~~o→[-1]
+    """
+    graph, core_sequence = linear_structure
+    branch_sequence = random_sequence(exclude=core_sequence)
+
+    S = request.param
+    if S < 0:
+        S = len(core_sequence) + S
+    HDN = Kmer(core_sequence[S:S + K], pos=S)
+    L = Kmer(core_sequence[S - 1:S - 1 + K], pos=S - 1)
+    R = Kmer(core_sequence[S + 1:S + 1 + K], pos=S + 1)
+    # branch ends at L mutated at its first base — equivalently the
+    # K-1 prefix of HDN prepended with a new base
+    branch_start = mutate_position(L, 0)
+    branch_sequence = branch_sequence + \
+        branch_start + core_sequence[L.pos + K:]
+
+    graph.consume(core_sequence)
+    graph.consume(branch_sequence)
+
+    core_hdns = hdn_counts(core_sequence, graph)
+    branch_hdns = hdn_counts(branch_sequence, graph)
+    if not (core_hdns == branch_hdns == {3: 1}):
+        request.applymarker(pytest.mark.xfail)
+
+    return graph, core_sequence, L, HDN, R, branch_sequence
+
+
+@pytest.fixture(params=[K * 2, (-K * 2) - 2],
+                ids=['(Where={0})'.format(i) for i in ['Start', 'End']])
+def snp_bubble_structure(request, linear_structure):
+    """
+                        (HDN_L[1:]+SNP)→o~~o→(SNP+)
+                      ↗                            ↘
+    o~~([S:S+K] HDN_L)                             ([S+K+1:S+2K+1] HDN_R)~~o
+                      ↘                           ↗
+                        (HDN_L[1:]+W)→o~~o~~o→(W+)
+    """
+    graph, wildtype_sequence = linear_structure
+    S = request.param
+    if S < 0:
+        S = len(wildtype_sequence) + S
+    snp_sequence = mutate_position(wildtype_sequence, S + K)
+    HDN_L = Kmer(wildtype_sequence[S:S + K], pos=S)
+    HDN_R = Kmer(wildtype_sequence[S + K + 1:S + 2 * K + 1], pos=S + K + 1)
+
+    graph.consume(wildtype_sequence)
+    graph.consume(snp_sequence)
+
+    w_hdns = hdn_counts(wildtype_sequence, graph)
+    snp_hdns = hdn_counts(snp_sequence, graph)
+    if not (w_hdns == snp_hdns == {3: 2}):
+        request.applymarker(pytest.mark.xfail)
+
+    return graph, wildtype_sequence, snp_sequence, HDN_L, HDN_R
+
+
+@pytest.fixture(params=[2, 3, 4, 5, 6, 7, 8])
+def tandem_repeat_structure(request, linear_structure):
+    graph, sequence = linear_structure
+
+    tandem_repeats = sequence * request.param
+    graph.consume(tandem_repeats)
+
+    if hdn_counts(tandem_repeats, graph):
+        request.applymarker(pytest.mark.xfail)
+
+    return graph, sequence, tandem_repeats
+
+
+@pytest.fixture
+def circular_linear_structure(request, graph, random_sequence):
+    """A contig whose end wraps back onto its beginning.  (The
+    reference's test_assembly.py references this fixture but its
+    graph_features.py never defines it — reconstructed from
+    TestNonBranching.test_circular's use.)"""
+    sequence = random_sequence()
+    graph.consume(sequence + sequence[:K])
+
+    if hdn_counts(sequence, graph):
+        request.applymarker(pytest.mark.xfail)
+
+    return graph, sequence

@@ -133,3 +133,441 @@ def test_native_core_matches_python_search():
     al._native_subalign = lambda *a, **k: None  # force python search
     assert native == [al.align(r) for r in reads]
     assert forward == [al.align_forward(r) for r in reads]
+
+
+# -- round 3: remaining reference test_read_aligner.py cases
+# (truncated alignments, align_forward coverage vectors, recorded
+# full-read alignment goldens, params-file loading).
+
+import pytest  # noqa: E402
+
+from . import khmer_tst_utils as utils  # noqa: E402
+
+
+def pretty_compare(a, b):
+    print(len(a), len(b))
+    line1, line2, line3 = [], [], []
+    for (x, y) in zip(a, b):
+        line1.append(x)
+        line2.append(y)
+        line3.append('|' if x == y else 'x')
+    for i in range(0, len(line1), 60):
+        print("".join(line1[i:i + 60]))
+        print("".join(line3[i:i + 60]))
+        print("".join(line2[i:i + 60]))
+
+
+def eq_(v1, v2):
+    assert len(v1)
+    if v1 != v2:
+        pretty_compare(v1, v2)
+    assert v1 == v2, (v1, v2)
+
+
+def neq_(v1, v2):
+    assert len(v1)
+    if v1 == v2:
+        pretty_compare(v1, v2)
+    assert v1 != v2, (v1, v2)
+
+
+@pytest.mark.known_failing
+def test_align_middle_trunc():
+    ch = khmer.Countgraph(10, 1048576, 1)
+    read = "TCGACAAGTCCTTGACAGATGGGGGG"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(20):
+        ch.consume("AGAGGGAAAGCTAGGTTCGACAAGTCCTTGACAGAT")
+
+    # omit suffix from graph
+    ch.consume(read[:-5])
+    _, graphAlign, readAlign, trunc = aligner.align(read)
+
+    # should not be the same...
+    neq_(readAlign, read)
+    neq_(graphAlign, read)
+
+    eq_(readAlign, read[:-5])
+    eq_(graphAlign, read[:-5])
+
+    # ...but truncated
+    assert trunc
+
+
+@pytest.mark.known_failing
+def test_align_middle_trunc_2():
+    ch = khmer.Countgraph(10, 1048576, 1)
+    read = "GGGGGGGGGGGGTCGACAAGTCCTTGACAGAT"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(20):
+        ch.consume("AAAAAAAAAAAATCGACAAGTCCTTGACAGAT")
+
+    # omit prefix from graph
+    ch.consume(read[12:])
+    _, graphAlign, readAlign, trunc = aligner.align(read)
+
+    # here, the alignment must start not at the beginning
+    eq_(readAlign, read[12:])
+    eq_(graphAlign, read[12:])
+
+    # ...but truncated
+    assert trunc
+
+
+def test_align_fwd_nocov():
+    ch = khmer.Countgraph(10, 1048576, 1)
+    read = "ACCTAGGTTCGACATGTACC"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(20):
+        ch.consume("AGAGGGAAAGCTAGGTTCGACAAGTCCTTGACAGAT")
+    ch.consume("ACCTAGGTTCGACATGTACC")
+    _, graphAlign, readAlign, trunc, _ = aligner.align_forward(read)
+
+    # should be the same
+    eq_(readAlign, 'ACCTAGGTTCGACATGTACC')
+    eq_(graphAlign, 'ACCTAGGTTCGACATGTACC')
+    assert not trunc
+
+
+@pytest.mark.known_failing
+def test_align_fwd_middle_trunc():
+    ch = khmer.Countgraph(10, 1048576, 1)
+    read = "TCGACAAGTCCTTGACAGATGGGGGG"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(20):
+        ch.consume("AGAGGGAAAGCTAGGTTCGACAAGTCCTTGACAGAT")
+
+    # omit suffix from graph
+    ch.consume(read[:-5])
+    _, graphAlign, readAlign, trunc, _ = aligner.align_forward(read)
+
+    # should not be the same...
+    neq_(readAlign, read)
+    neq_(graphAlign, read)
+
+    eq_(readAlign, read[:-5])
+    eq_(graphAlign, read[:-5])
+
+    # ...but truncated
+    assert trunc
+
+
+def test_align_fwd_middle_trunc_2():
+    ch = khmer.Countgraph(10, 1048576, 1)
+    read = "GGGGGGGGGGGGTCGACAAGTCCTTGACAGAT"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(20):
+        ch.consume("AAAAAAAAAAAATCGACAAGTCCTTGACAGAT")
+
+    # omit prefix from graph
+    ch.consume(read[12:])
+    _, graphAlign, readAlign, trunc, _ = aligner.align_forward(read)
+
+    # this fails, because align_forward chooses the first kmer as the
+    # seed
+    assert not readAlign
+    assert not graphAlign
+    assert trunc
+
+
+def test_align_fwd_covs_1():
+    K = 10
+    ch = khmer.Countgraph(K, 1048576, 1)
+    read = "GTCGACAAGTCCTTGACAGAT"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(19):
+        ch.consume(read)
+
+    ch.consume("CTCGACAAGTCCTTGACAGAT")
+    #           ^
+    _, g, r, is_t, covs = aligner.align_forward(read)
+
+    assert len(covs) == len(read)
+    assert covs[0] == 19
+    assert min(covs[1:-K]) == 20, covs
+    assert max(covs) == 20, covs
+
+
+def test_align_fwd_covs_2():
+    K = 10
+    ch = khmer.Countgraph(K, 1048576, 1)
+    read = "GTCGACAAGTCCTTGACAGAT"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(19):
+        ch.consume(read)
+
+    ch.consume("GACGACAAGTCCTTGACAGAT")
+    #            ^
+    _, g, r, is_t, covs = aligner.align_forward(read)
+
+    assert len(covs) == len(read)
+    assert covs[0] == 19
+    assert covs[1] == 19
+    assert min(covs[2:-K]) == 20, covs
+    assert max(covs) == 20, covs
+
+
+def test_align_fwd_covs_3():
+    K = 10
+    ch = khmer.Countgraph(K, 1048576, 1)
+    read = "GTCGACAAGTCCTTGACAGAT"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(19):
+        ch.consume(read)
+
+    ch.consume("GTAGACAAGTCCTTGACAGAT")
+    #             ^
+    _, g, r, is_t, covs = aligner.align_forward(read)
+
+    assert len(covs) == len(read)
+    assert covs[0] == 19
+    assert covs[1] == 19
+    assert covs[2] == 19
+    assert min(covs[3:-K]) == 20, covs
+    assert max(covs) == 20, covs
+
+
+def test_align_fwd_covs_4():
+    K = 10
+    ch = khmer.Countgraph(K, 1048576, 1)
+    read = "GTCGACAAGTCCTTGACAGAT"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(19):
+        ch.consume(read)
+
+    ch.consume("GTCGACAAGTCCTTGACAGAG")
+    #                               ^
+    _, g, r, is_t, covs = aligner.align_forward(read)
+
+    assert len(covs) == len(read)
+    assert covs[-K] == 19
+    assert min(covs[:-K]) == 20, covs
+    assert max(covs) == 20, covs
+
+
+def test_align_fwd_covs_5():
+    K = 10
+    ch = khmer.Countgraph(K, 1048576, 1)
+    read = "GTCGACAAGTCCTTGACAGAT"
+    aligner = khmer.ReadAligner(ch, 0, 0)
+    for _ in range(19):
+        ch.consume(read)
+
+    ch.consume("GTCGACAAGTCCTTGACAGCT")
+    #                              ^
+    _, g, r, is_t, covs = aligner.align_forward(read)
+
+    assert len(covs) == len(read)
+    assert covs[-K] == 19
+    assert covs[-K - 1] == 19
+    assert min(covs[:-K - 1]) == 20, covs
+    assert max(covs) == 20, covs
+
+
+@pytest.mark.known_failing
+def test_simple_readalign():
+    ch = khmer.Countgraph(10, 1048576, 1)
+    aligner = khmer.ReadAligner(ch, 2, 0)
+    for _ in range(20):
+        ch.consume("AGAGGGAAAGCTAGGTTCGACATGTCCTTGACAGAT")
+    read = "ACCTAGGTTCGACATGTACC"
+    #       ^^            ^  ^
+    ch.consume("GCTTTTAAAAAGGTTCGACAAAGGCCCGGG")
+
+    score, graphAlign, readAlign, _ = aligner.align(read)
+
+    eq_(graphAlign, 'AGCTAGGTTCGACATGTCCT')
+    eq_(readAlign, 'ACCTAGGTTCGACATGTACC')
+
+
+def test_readalign():
+    # (passes here; upstream marks it known_failing against its own
+    # recorded golden)
+    ch = khmer.Countgraph(10, 1048576, 1)
+    aligner = khmer.ReadAligner(ch, 1, 0)
+    for _ in range(20):
+        ch.consume("AGAGGGAAAGCTAGGTTCGACAAGTCCTTGACAGAT")
+    read = "ACCTAGGTTCGACATGTACC"
+    #                      ^^            ^  ^
+
+    ch.consume("GCTTTTAAAAAGGTTCGACAAAGGCCCGGG")
+
+    score, graphAlign, readAlign, _ = aligner.align(read)
+
+    eq_(readAlign, 'ACCTAGGTTCGACATGTACC')
+    eq_(graphAlign, 'AGCTAGGTTCGACAAGTCCT')
+
+
+ht_seqs = [
+"TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+"TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+"TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+"TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGAAAAATGTCATCCTGTATTGCAATCTTAACAACCTCTTTAC"
+]
+
+queries = [
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "score": 274.76338282696173,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTAACAACCTCTTTAC",
+  "score": 274.76338282696173,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False
+ },
+ {
+  "seq": "TAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "score": 272.841515695261,
+  "graph_aln": "TAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False
+ },
+ {
+  "seq": "TAAATGCGCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "score": 268.2640868672253,
+  "graph_aln": "TAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TAAATGCGCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAA",
+  "score": 97.37145206396536,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAA",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAA",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTAGATGTTTGATTATCAA",
+  "score": 92.79402323592961,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAA",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTAGATGTTTGATTATCAA",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTATTGATTATCAA",
+  "score": 84.74620322710143,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGT-TTGATTATCAA",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTaTTGATTATCAA",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATTGTTTGATTATCAA",
+  "score": 82.2182409986759,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATaTGTTTGATTATCAA",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTAT-TGTTTGATTATCAA",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTATTGATTATCAA",
+  "score": 84.74620322710143,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGT-TTGATTATCAA",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTaTTGATTATCAA",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTATAGATTATCAA",
+  "score": 80.1687743990657,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGT-TTGATTATCAA",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTaTAGATTATCAA",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATAATTTTGCCGCTTTAACTGGGTCTAGTTTCTACTGCAAACTTTCCACCAACTAGTTTTTCTGCATCCTTTGTTGCAATCTTAACAACCTCTTTAC",
+  "score": 237.81111469018322,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATcAATTTTGCCGCTTTAACTGGGTCT-GTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTGTTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTAT-AATTTTGCCGCTTTAACTGGGTCTaGTTTCTACTGCAAACTTTCCACCAACTAGTTTTTCTGCATCCTTTGTTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGAAAATAATTAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+  "score": 5.331560863368736,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTT",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGAAAATAATTAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+  "truncated": False
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGAAAAATGTCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "score": 274.76338282696173,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGAAAAATGTCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGAAAAATGTCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False
+ },
+ {
+  "seq": "ACAAGGCCATTTGTTCGCATTCTGAAGCCGGCTTCCACCATGGTACTGGGAAACTGTCGGAATATTAAATGCCCAATTTTTCCCTCTTTTCTTCTATCCGCAGTATGGACACTGTTTTCCTGAATTTCATTGACAGTTTAATTTACTGCGGTCACGCGGAACT",
+  "score": 68.17022311739733,
+  "graph_aln": "ACAAGGCCATTTGTTCGCATTCTGAAGCCGGCTTCCACCATGGTACTGGGAAACTGTCGGAATATTAAATGCCCAATTTTTCCCTCTTTTCTTCTATCCGCAGTATGGACACTGTTTTCCTGAATTTCATTGACAGTTTAATTTACTGCGGTCACGCGGAACT",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTAT",
+  "truncated": True,
+  "description": "truncated-alignment-bc-missing-kmers"
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATACGTTTGATTATCAATTTTGCCGCTTTAACTGGATCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "score": 265.608525171,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATACGTTTGATTATCAATTTTGCCGCTTTAACTGGATCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False,
+  "description": "2 SNPs, one K apart"
+ },
+ {
+  "seq": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATACCTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "score": 265.608525171,
+  "graph_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATATGTTTGATTATCAATTTTGCCGCTTTAACTGGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "read_aln": "TTAAATGCCCAATTTTTCCCTCTTTTCTTCTATACGTTTGATTATCAATTTTGCCGCTTTAACTAGGTCTGTTTCTACTGCAAACTTTCCACCAACAAGTTTTTCTGCATCCTGTATTGCAATCTTAACAACCTCTTTAC",
+  "truncated": False,
+  "description": "2 SNPs, K-2 apart"
+ }
+]
+
+
+def check_query(aligner, query):
+    score, graphAlign, readAlign, trunc = aligner.align(query["seq"])
+    assert graphAlign == query["graph_aln"], "\n%r != \n%r" % \
+        (graphAlign, query["graph_aln"])
+    assert readAlign == query["read_aln"], "\n%r != \n%r" % \
+        (readAlign, query["read_aln"])
+    eq_(trunc, query["truncated"])
+    if query["score"] > 0:
+        assert round(score - query["score"], 7) == 0
+
+
+@pytest.mark.known_failing
+@pytest.mark.parametrize('query', queries)
+def test_readalign_new(query):
+    ch = khmer.Countgraph(32, 1048576, 1)
+    aligner = khmer.ReadAligner(ch, 1, 0)
+    for seq in ht_seqs:
+        ch.consume(seq)
+
+    check_query(aligner, query)
+
+
+def test_readaligner_load():
+    ct = khmer.Countgraph(32, 1048576, 1)
+    parameters_json = utils.get_test_data('readaligner-default.json')
+    a_aligner = khmer.ReadAligner(ct, 0, 0, filename=parameters_json)
+    a_scoring_matrix = a_aligner.scoring_matrix
+    a_transition_probabilities = a_aligner.transition_probabilities
+    assert a_scoring_matrix[0] == -0.06642736173897607, a_scoring_matrix[0]
+    assert a_transition_probabilities[0][0] == -0.021973842014145723, (
+        a_transition_probabilities[0][0])
+
+    for seq in ht_seqs:
+        ct.consume(seq)
+
+    for query in queries:
+        a_aligner.align(query['seq'])
+
+    b_aligner = khmer.ReadAligner(
+        ct, 0, 0, transition_probabilities=a_transition_probabilities,
+        scoring_matrix=a_scoring_matrix)
+    b_scoring_matrix = b_aligner.scoring_matrix
+    b_transition_probabilities = b_aligner.transition_probabilities
+    assert b_scoring_matrix == a_scoring_matrix, (
+        a_scoring_matrix, b_scoring_matrix)
+    assert b_transition_probabilities == a_transition_probabilities, (
+        a_transition_probabilities, b_transition_probabilities)

@@ -300,3 +300,126 @@ def test_save_load(Tabletype, tmp_path):
     assert loaded.ksize() == 5
     for kmer in kh.get_kmers('ATGGCAGTAGCAGTGAGC'):
         assert loaded.get(kmer) == kh.get(kmer)
+
+
+# -- round 3: remaining reference test_tabletype.py cases.
+
+from khmer_tpu import ReadParser  # noqa: E402
+
+from . import khmer_tst_utils as utils  # noqa: E402
+
+QF_SIZE = 1 << 17
+
+
+def test_add_bad_dna_kmer(AnyTabletype):
+    # even with 'bad' dna, should succeed (cleaned to A)
+    kh = AnyTabletype(5)
+
+    kh.add("ATYGC")
+
+
+def test_get_bad_dna_kmer(AnyTabletype):
+    # hash(dna) with bad dna; should be fine
+    kh = AnyTabletype(5)
+
+    kh.hash("ATYGC")
+
+
+def test_get_dna_kmer(AnyTabletype):
+    kh = AnyTabletype(5)
+    hashval = kh.hash("ATGGC")
+    kh.add(hashval)
+
+    z = kh.get("ATGGC")
+    assert z == 1
+
+
+def test_bad_create(Tabletype):
+    # creation should fail w/bad parameters
+    try:
+        Tabletype.cls(5, primes=[])
+    except ValueError as err:
+        assert 'tablesizes needs to be one or more numbers' in str(err)
+
+
+def test_consume_and_count_bad_dna(AnyTabletype):
+    # bad DNA is cleaned consistently on consume and on get
+    tt = AnyTabletype(6)
+
+    x = "ATGCCGNTGCA"
+    tt.consume(x)
+
+    for start in range(len(x) - 6 + 1):
+        assert tt.get(x[start:start + 6]) == 1
+
+
+def test_consume_seqfile_reads_parser(AnyTabletype):
+    kh = AnyTabletype(5)
+    rparser = ReadParser(utils.get_test_data('test-fastq-reads.fq'))
+
+    kh.consume_seqfile(rparser)
+
+    kh2 = AnyTabletype(5)
+    for record in utils.screed_open(
+            utils.get_test_data('test-fastq-reads.fq')):
+        kh2.consume(record.sequence)
+
+    assert kh.get('CCGGC') == kh2.get('CCGGC')
+
+
+def test_get_bigcount(Tabletype):
+    # get_use_bigcount should return false by default
+    tt = Tabletype(12)
+
+    assert not tt.get_use_bigcount()
+
+
+def test_set_bigcount(Tabletype):
+    supports_bigcount = [Countgraph, Counttable, CyclicCounttable]
+    tt = Tabletype(12)
+
+    if type(tt) in supports_bigcount:
+        tt.set_use_bigcount(True)
+
+        for _ in range(300):
+            tt.add('G' * 12)
+        assert tt.get('G' * 12) == 300
+
+    else:
+        with pytest.raises(ValueError):
+            tt.set_use_bigcount(True)
+
+
+def test_hashsizes(AnyTabletype):
+    kh = AnyTabletype(5)
+    assert (kh.hashsizes() == PRIMES_1m or
+            # QF allocates slots beyond what you request; exactly how
+            # many is an implementation detail
+            kh.hashsizes()[0] >= QF_SIZE)
+
+
+def test_abund_dist_A(AnyTabletype):
+    A_filename = utils.get_test_data('all-A.fa')
+
+    kh = AnyTabletype(4)
+    tracking = Nodegraph(4, 1, 1, primes=PRIMES_1m)
+
+    kh.consume_seqfile(A_filename)
+    dist = kh.abundance_distribution(A_filename, tracking)
+
+    assert sum(dist) == 1
+    assert dist[0] == 0
+
+
+def test_abund_dist_A_readparser(AnyTabletype):
+    A_filename = utils.get_test_data('all-A.fa')
+    rparser = ReadParser(A_filename)
+
+    kh = AnyTabletype(4)
+    tracking = Nodegraph(4, 1, 1, primes=PRIMES_1m)
+
+    kh.consume_seqfile(A_filename)
+    dist = kh.abundance_distribution(rparser, tracking)
+
+    assert sum(dist) == 1
+    assert dist[0] == 0
