@@ -157,10 +157,15 @@ class FastxReader:
     PAIR_MODE_IGNORE_UNPAIRED = 0
     PAIR_MODE_ERROR_ON_UNPAIRED = 1
 
-    def __init__(self, filename, raise_on_empty=True,
+    def __init__(self, filename, num_threads=1, raise_on_empty=True,
                  strict_fastq=False):
         import threading
 
+        # the reference ReadParser's second argument is a thread count
+        # (_cpy_khmer.cc ReadParser init); the python reader is already
+        # thread-shared so only the type check matters
+        if not isinstance(num_threads, int):
+            raise TypeError("number of threads must be an integer")
         self.filename = filename
         # screed validates quality length == sequence length; the C++
         # ReadParser (SeqAn) does not (valid-read-testing.fq carries a
@@ -176,6 +181,16 @@ class FastxReader:
         self._format = None      # resolved on first read
         self._pending = None     # lookahead header line
         self._done = False
+        # the reference raises on a malformed file at construction
+        # (read_parsers.cc:252 InvalidStream in FastxReader::_init);
+        # probe the first byte when the source is seek-free peekable
+        if isinstance(filename, str) and os.path.isfile(filename) and \
+                hasattr(self._stream, "peek"):
+            first = self._stream.peek(1)[:1]
+            if first and first not in (b">", b"@"):
+                raise OSError(
+                    "File {} contains badly formatted sequence or does "
+                    "not exist.".format(filename))
 
     # -- iteration --------------------------------------------------------
 
@@ -222,8 +237,11 @@ class FastxReader:
             elif first.startswith(b"@"):
                 self._format = "fastq"
             else:
-                raise ValueError(
-                    "unknown sequence format in {!r}".format(self.filename))
+                # reference read_parsers.cc:252 InvalidStream text,
+                # surfaced as OSError by the binding
+                raise OSError(
+                    "File {} contains badly formatted sequence or does "
+                    "not exist.".format(self.filename))
             self._pending = first
         if self._format == "fasta":
             return self._next_fasta()

@@ -98,7 +98,10 @@ def _calc_md5(fp):
     from hashlib import md5
 
     m = md5()
-    m.update(fp.read().encode("utf-8") if hasattr(fp, "read") else fp)
+    data = fp.read() if hasattr(fp, "read") else fp
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    m.update(data)
     return m.hexdigest()
 
 

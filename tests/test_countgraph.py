@@ -1176,3 +1176,29 @@ def test_counting_load_bigcount():
         count_table.count('ATATATATAT')
     count = count_table.get('ATATATATAT')
     assert count == 500
+
+
+def test_get_raw_tables_view():
+    # DEVIATION from the reference: its memoryviews alias host RAM and
+    # update live; here the table lives in device HBM, so
+    # get_raw_tables() returns snapshots and must be re-called after
+    # updates (documented on the method).  The substance — the consume
+    # lands in the raw bytes — is asserted identically.
+    ht = khmer.Countgraph(20, 1e5, 4)
+    for tab in ht.get_raw_tables():
+        assert sum(tab.tolist()) == 0
+    ht.consume('AAAATTTTCCCCGGGGAAAA')
+    for tab in ht.get_raw_tables():
+        assert sum(tab.tolist()) == 1
+
+
+def test_get_raw_tables_view_smallcountgraph():
+    # (snapshot semantics; see test_get_raw_tables_view)
+    ht = khmer.SmallCountgraph(4, 1e5, 4)
+    for tab in ht.get_raw_tables():
+        assert sum(tab.tolist()) == 0
+    ht.consume('AAAA')
+    # the actual count is 1 but stored in the first 4 bits of a byte
+    # and so becomes 16
+    for tab in ht.get_raw_tables():
+        assert sum(tab.tolist()) == int('00010000', 2)

@@ -112,3 +112,46 @@ def test_init_with_primes(sketchtype):
     primes = khmer.get_n_primes_near_x(4, random.randint(1000, 2000))
     sketch = sketchtype(31, 1, 1, primes=primes)
     assert sketch.hashsizes() == primes
+
+
+# -- round 3: the reference's remaining test_counttable.py cases.
+
+
+def test_get_kmer_hashes():
+    s = "ATGGATATGGAGGACAAGTATATGGAGGACAAGTATATGGAGGACAAGTAT"
+    a = khmer.Counttable(33, 1e6, 3)
+    assert a.get_kmer_hashes(s[:33]) == [4743239192574154715]
+    assert a.get_kmer_hashes(s[:34]) == [4743239192574154715,
+                                         2122462908541313313]
+
+    assert a.get_kmer_hashes(s[0:33]) == [4743239192574154715]
+    assert a.get_kmer_hashes(s[1:34]) == [2122462908541313313]
+
+
+@pytest.mark.parametrize('kmer', [
+    ('GATTACA' * 3),
+    ('ATG' * 7),
+    ('AGGACAAGTATATGGAGGACA'),
+])
+def test_kmer_revcom_hash(kmer):
+    a = khmer.Counttable(21, 1e4, 3)
+    assert a.hash(kmer) == a.hash(khmer.reverse_complement(kmer))
+
+
+@pytest.mark.parametrize('ksize,sketch_allocator', [
+    (21, khmer.Nodetable),
+    (21, khmer.Counttable),
+    (21, khmer.SmallCounttable),
+    (49, khmer.Nodetable),
+    (49, khmer.Counttable),
+    (49, khmer.SmallCounttable),
+])
+def test_reverse_hash(ksize, sketch_allocator):
+    multiplier = int(ksize / len('GATTACA'))
+    kmer = 'GATTACA' * multiplier
+
+    sketch = sketch_allocator(ksize, 1e4, 4)
+    kmer_hash = sketch.hash(kmer)
+    with pytest.raises(ValueError) as ve:
+        _ = sketch.reverse_hash(kmer_hash)
+    assert 'not implemented' in str(ve)

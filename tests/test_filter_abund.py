@@ -216,3 +216,409 @@ def test_quiet_mode(single):
     assert len(err) == 0
     assert len(stdout) < 1000
     assert os.path.exists(out)
+
+
+# -- round 3: the reference's test_filter_abund.py cases under their
+# original names/shapes (the reorganized tests above cover the same
+# behaviors; these keep the one-to-one suite mapping).
+
+from .test_scripts import _make_counting  # noqa: E402
+from .khmer_tst_utils import screed_open  # noqa: E402
+
+
+def test_filter_abund_1():
+    script = 'filter-abund.py'
+
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    n_infile = utils.copy_test_data('test-fastq-n-reads.fq')
+
+    in_dir = os.path.dirname(infile)
+    n_in_dir = os.path.dirname(n_infile)
+
+    counting_ht = _make_counting(infile, K=17)
+    n_counting_ht = _make_counting(n_infile, K=17)
+
+    args = [counting_ht, infile]
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    n_outfile = n_infile + '.abundfilt'
+    n_outfile2 = n_infile + '2.abundfilt'
+
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+
+    assert len(seqs) == 1, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+    args = [n_counting_ht, n_infile]
+    utils.runscript(script, args, n_in_dir)
+
+    assert os.path.exists(n_outfile), n_outfile
+
+    args = [n_counting_ht, n_infile, '-o', n_outfile2]
+    utils.runscript(script, args, in_dir)
+    assert os.path.exists(n_outfile2), n_outfile2
+
+
+def test_filter_abund_2():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script = 'filter-abund.py'
+    args = ['-C', '1', counting_ht, infile, infile]
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 2, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_filter_abund_2_stdin():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script = 'filter-abund.py'
+    args = ['-C', '1', counting_ht, '-']
+    (status, out, err) = utils.runscript(script, args, in_dir, fail_ok=True)
+    assert status == 1
+    assert "Accepting input from stdin; output filename must be provided" \
+           in str(err)
+
+
+def test_filter_abund_2_stdin_gzip_out():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+    outfile = utils.get_temp_filename('out.fa.gz')
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script = 'filter-abund.py'
+    args = ['-C', '1', counting_ht, infile, '-o', outfile, '--gzip']
+    (status, out, err) = utils.runscript(script, args, in_dir, fail_ok=True)
+    assert status == 0
+
+
+def test_filter_abund_3_fq_retained():
+    infile = utils.copy_test_data('test-abund-read-2.fq')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script = 'filter-abund.py'
+    args = ['-C', '1', counting_ht, infile, infile]
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 2, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+    # check for 'quality' string.
+    quals = set([r.quality for r in screed_open(outfile)])
+    assert len(quals) == 2, quals
+    assert '##################' in quals
+
+
+def test_filter_abund_4_fq_casava_18():
+    infile = utils.copy_test_data('test-abund-read-2.paired2.fq')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script = 'filter-abund.py'
+    args = [counting_ht, infile, infile]
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.name for r in screed_open(outfile)])
+    assert 'pair:foo 1::N' in seqs, seqs
+
+
+def test_filter_abund_1_singlefile():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    script = 'filter-abund-single.py'
+    args = ['-x', '1e7', '-N', '2', '-k', '17', infile]
+    (status, out, err) = utils.runscript(script, args, in_dir)
+
+    assert 'Total number of unique k-mers: 98' in err, err
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 1, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_filter_abund_1_singlefile_long_k():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    script = 'filter-abund-single.py'
+    args = ['-x', '1e7', '-N', '2', '-k', '35', '-H', 'murmur', infile]
+    (status, out, err) = utils.runscript(script, args, in_dir)
+
+    assert 'Total number of unique k-mers: 80' in err, err
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 0
+
+
+def test_filter_abund_1_singlefile_long_k_nosave():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    script = 'filter-abund-single.py'
+    args = ['-x', '1e7', '-N', '2', '-k', '35', '-H', 'murmur', infile,
+            '--savegraph', 'foo']
+    (status, out, err) = utils.runscript(script, args, in_dir, fail_ok=True)
+
+    assert status == 1
+    assert 'ERROR: cannot save different hash functions yet.' in err
+
+
+def test_filter_abund_2_singlefile():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+    tabfile = utils.get_temp_filename('test-savegraph.ct')
+
+    script = 'filter-abund-single.py'
+    args = ['-x', '1e7', '-N', '2', '-k', '17', '--savegraph',
+            tabfile, infile]
+    (status, out, err) = utils.runscript(script, args, in_dir)
+
+    assert 'Total number of unique k-mers: 98' in err, err
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 1, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_filter_abund_2_singlefile_fq_casava_18():
+    infile = utils.copy_test_data('test-abund-read-2.paired2.fq')
+    in_dir = os.path.dirname(infile)
+
+    script = 'filter-abund-single.py'
+    args = ['-x', '1e7', '-N', '2', '-k', '17', infile]
+    (status, out, err) = utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.name for r in screed_open(outfile)])
+    assert 'pair:foo 1::N' in seqs, seqs
+
+
+def test_filter_abund_4_retain_low_abund():
+    # -V does not trim sequences that are low abundance
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script, args = ('filter-abund.py', ['-V', counting_ht, infile])
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 2, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_filter_abund_single_4_retain_low_abund():
+    # -V does not trim sequences that are low abundance
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    script, args = ('filter-abund-single.py', ['-k', '17', '-V', infile])
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 2, seqs
+    assert 'GGTTGACGGGGCTCAGGG' in seqs
+
+
+def test_filter_abund_5_trim_high_abund():
+    # -V *does* trim sequences that are high abundance
+    infile = utils.copy_test_data('test-abund-read-3.fa')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script, args = ('filter-abund.py', ['-V', counting_ht, infile])
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 2, seqs
+
+    # trimmed sequence @ error
+    assert 'GGTTGACGGGGCTCAGGGGGCGGCTGACTCCGAGAGACAGC' in seqs
+
+
+def test_filter_abund_single_trim_high_abund():
+    # -V *does* trim sequences that are high abundance
+    infile = utils.copy_test_data('test-abund-read-3.fa')
+    in_dir = os.path.dirname(infile)
+
+    script, args = ('filter-abund-single.py', ['-k', '17', '-V', infile])
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert len(seqs) == 2, seqs
+
+    # trimmed sequence @ error
+    assert 'GGTTGACGGGGCTCAGGGGGCGGCTGACTCCGAGAGACAGC' in seqs
+
+
+def test_filter_abund_6_trim_high_abund_Z():
+    # -V/-Z interact: no trimming when -Z is set high enough
+    infile = utils.copy_test_data('test-abund-read-3.fa')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    for script, args in (('filter-abund.py',
+                          ['-V', '-Z', '25', counting_ht, infile]),
+                         ('filter-abund-single.py',
+                          ['-k', '17', '-V', '-Z', '25', infile])):
+        utils.runscript(script, args, in_dir)
+
+        outfile = infile + '.abundfilt'
+        assert os.path.exists(outfile), outfile
+
+        seqs = set([r.sequence for r in screed_open(outfile)])
+        assert len(seqs) == 2, seqs
+
+        # untrimmed seq.
+        badseq = 'GGTTGACGGGGCTCAGGGGGCGGCTGACTCCGAGAGACAGCgtgCCGCAGCTG' \
+                 'TCGTCAGGGGATTTCCGGGCGG'
+        assert badseq in seqs       # should be there, untrimmed
+
+
+def test_filter_abund_7_retain_Ns():
+    # filter-abund retains sequences with Ns, treating them as As
+    infile = utils.copy_test_data('test-filter-abund-Ns.fq')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    script = 'filter-abund.py'
+    args = ['-C', '3', counting_ht, infile]
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    names = set([r.name for r in screed_open(outfile)])
+    assert '895:1:37:17593:9954 1::FOO_withN' in names, names
+
+    # the 'N' counts as an 'A'...
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert 'GGTTGACGGGGCTCAGGGGGCGGCTGACTCCGAG' not in seqs, seqs
+
+    # ...and an 'N' remains in the output sequences
+    found_N = False
+    for s in seqs:
+        if 'N' in s:
+            found_N = True
+    assert found_N, seqs
+
+
+def test_filter_abund_single_8_retain_Ns():
+    # filter-abund-single retains sequences with Ns, treating them as As
+    infile = utils.copy_test_data('test-filter-abund-Ns.fq')
+    in_dir = os.path.dirname(infile)
+
+    script = 'filter-abund-single.py'
+    args = ['-k', '17', '-x', '1e7', '-N', '2', '-C', '3', infile]
+    utils.runscript(script, args, in_dir)
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+    names = set([r.name for r in screed_open(outfile)])
+    assert '895:1:37:17593:9954 1::FOO_withN' in names, names
+
+    seqs = set([r.sequence for r in screed_open(outfile)])
+    assert 'GGTTGACGGGGCTCAGGGGGCGGCTGACTCCGAG' not in seqs, seqs
+
+    found_N = False
+    for s in seqs:
+        if 'N' in s:
+            found_N = True
+    assert found_N, seqs
+
+
+def test_outfile():
+    infile = utils.get_test_data('paired-mixed-witherror.fa.pe')
+    outfile = utils.get_temp_filename('paired-mixed-witherror.fa.pe.abundfilt')
+    script = 'filter-abund-single.py'
+    args = ['-o', outfile, infile]
+    (status, out, err) = utils.runscript(script, args)
+    md5hash = utils._calc_md5(open(outfile, 'rb'))
+    assert md5hash == 'f17122f4c0c3dc0bcc4eeb375de93040', md5hash
+
+
+def test_filter_abund_1_quiet():
+    script = 'filter-abund.py'
+
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    counting_ht = _make_counting(infile, K=17)
+
+    args = ['-q', counting_ht, infile]
+    status, out, err = utils.runscript(script, args, in_dir)
+
+    assert len(err) == 0
+    assert len(out) < 1000
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile
+
+
+def test_filter_abund_1_singlefile_quiet():
+    infile = utils.copy_test_data('test-abund-read-2.fa')
+    in_dir = os.path.dirname(infile)
+
+    script = 'filter-abund-single.py'
+    args = ['-q', '-x', '1e7', '-N', '2', '-k', '17', infile]
+    (status, out, err) = utils.runscript(script, args, in_dir)
+
+    assert len(err) == 0
+    assert len(out) < 1000
+
+    outfile = infile + '.abundfilt'
+    assert os.path.exists(outfile), outfile

@@ -110,3 +110,12 @@ def test_concat_2_fail():
 
     with pytest.raises(ValueError):
         hs += hs2
+
+
+def test_iter_single_identity():
+    # (the reference defines test_iter_single twice; this is its second
+    # body — iter(hs) returns a self-identical iterator)
+    hs = khmer.HashSet(5, [6])
+    k = iter(hs)
+    k2 = iter(k)
+    assert k == k2

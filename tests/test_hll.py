@@ -102,3 +102,19 @@ def test_hll_change_error_rate_after_use():
     hll.consume_string("A" * 30)
     with pytest.raises(AttributeError):
         hll.error_rate = 0.05
+
+
+def test_hll_consume_fasta():
+    # the 1.x-named consume path counts unique k-mers via HyperLogLog
+    from . import khmer_tst_utils as utils
+    filename = utils.get_test_data('random-20-a.fa')
+    hllcpp = khmer.HLLCounter(ERR_RATE, K)
+    hllcpp.consume_seqfile(filename)
+
+    assert abs(1 - float(hllcpp.estimate_cardinality()) / N_UNIQUE) < ERR_RATE
+
+
+def test_hll_invalid_base():
+    # invalid bases are cleaned, not fatal, on consume_string
+    hllcpp = khmer.HLLCounter(ERR_RATE, 5)
+    hllcpp.consume_string("ACGTTTCGNAATNNNNN")

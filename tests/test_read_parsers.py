@@ -167,8 +167,8 @@ def test_bzip2_decompression():
 
 
 def test_bzip2_decompression_truncated():
-    rparser = ReadParser(_data("100-reads.fq.truncated.bz2"))
     try:
+        rparser = ReadParser(_data("100-reads.fq.truncated.bz2"))
         for _ in rparser:
             pass
         assert 0, "this should fail"
@@ -177,8 +177,8 @@ def test_bzip2_decompression_truncated():
 
 
 def test_bzip2_decompression_truncated_pairiter():
-    rparser = ReadParser(_data("100-reads.fq.truncated.bz2"))
     try:
+        rparser = ReadParser(_data("100-reads.fq.truncated.bz2"))
         for _ in rparser.iter_read_pairs():
             pass
         assert 0, "this should fail"
@@ -265,16 +265,16 @@ def test_read_pair_iterator_in_ignore_mode():
 
 
 def test_iternext():
-    # a non-FASTX text file yields no valid pairs (this port raises an
-    # unknown-format ValueError where SeqAn silently yields nothing)
-    rparser = ReadParser(_data("fakelump.fa.stoptags.txt"))
-    read_pairs = []
     try:
+        rparser = ReadParser(_data("fakelump.fa.stoptags.txt"))
+        read_pairs = []
         for read_1, read_2 in rparser.iter_read_pairs():
             read_pairs.append((read_1, read_2))
+        assert 0, "Shouldn't be able to iterate over non FASTA file"
+    except OSError as err:
+        print(str(err))
     except ValueError as err:
         print(str(err))
-    assert 0 == len(read_pairs)
 
 
 def test_clean_seq():
@@ -292,3 +292,130 @@ def test_error_file_does_not_exist():
         assert 0, "this should fail"
     except OSError as err:
         print(str(err))
+
+
+# -- round 3: remaining reference test_read_parsers.py cases.
+
+
+def test_constructor():
+    # Note: Using a data file with only one read.
+    try:
+        ReadParser(_data("single-read.fq"), "a")
+        assert 0, ("ReadParser's constructor shouldn't accept a character "
+                   "for the number of threads")
+    except TypeError as err:
+        print(str(err))
+    try:
+        ReadParser("non-existent-file-name")
+        assert 0, "ReadParser shouldn't accept a non-existant file name"
+    except ValueError as err:
+        print(str(err))
+    except OSError as err:
+        print(str(err))
+
+
+def test_error_badly_formatted_file():
+    import tempfile
+
+    fname = tempfile.mktemp(suffix='badly-formatted.fa')
+    with open(fname, 'w') as f:
+        f.write("not-sequence")
+
+    with pytest.raises(OSError) as e:
+        ReadParser(fname)
+
+    assert e.match("contains badly formatted sequence")
+
+
+@pytest.mark.huge
+def test_with_multiple_threads_big():
+    # test-large.fa is absent from the grafted reference test-data
+    test_with_multiple_threads(testfile="test-large.fa")
+
+
+@pytest.mark.multithread
+def test_old_illumina_pair_mating():
+    rparser = ReadParser(_data("test-reads.fa"))
+
+    def thread_1_runtime(rp):
+        for _ in rp:
+            pass
+
+    def thread_2_runtime(rp):
+        for readnum, _ in enumerate(rp):
+            if 0 == readnum:
+                pass
+
+    t1 = threading.Thread(target=thread_1_runtime, args=[rparser])
+    t2 = threading.Thread(target=thread_2_runtime, args=[rparser])
+
+    t1.start()
+    t2.start()
+
+    t1.join()
+    t2.join()
+
+
+@pytest.mark.multithread
+def test_casava_1_8_pair_mating():
+    # Note: tests the paired read mating logic with the Casava >= 1.8
+    # read name format
+    rparser = ReadParser(_data("test-reads.fq.bz2"))
+
+    def thread_1_runtime(rp):
+        for _ in rp:
+            pass
+
+    def thread_2_runtime(rp):
+        for readnum, _ in enumerate(rp):
+            if 0 == readnum:
+                pass
+
+    t1 = threading.Thread(target=thread_1_runtime, args=[rparser])
+    t2 = threading.Thread(target=thread_2_runtime, args=[rparser])
+
+    t1.start()
+    t2.start()
+
+    t1.join()
+    t2.join()
+
+
+@pytest.mark.known_failing
+def test_read_pair_iterator_in_error_mode():
+    # the reference's own body begins `assert 0` — dead upstream
+    assert 0
+
+    rparser = ReadParser(_data("test-abund-read-paired.fa"))
+
+    rpi = rparser.iter_read_pairs()
+    assert "__iter__" in dir(rpi)
+    assert "next" in dir(rpi)
+
+    read_pairs_1 = []
+    for read_1, read_2 in rpi:
+        read_pairs_1.append([read_1, read_2])
+        assert read_1.name[: 19] == read_2.name[: 19]
+
+    rparser = ReadParser(_data("test-abund-read-paired.fa"))
+
+    read_pairs_2 = []
+    for read_1, read_2 \
+            in rparser.iter_read_pairs(ReadParser.PAIR_MODE_ERROR_ON_UNPAIRED):
+        read_pairs_2.append([read_1, read_2])
+    matches = [(rp1, rp2) for rp1, rp2 in zip(read_pairs_1, read_pairs_2)
+               if rp1[0].name == rp2[0].name]
+    assert all(matches)  # Assert ALL the matches. :-]
+
+
+def test_read_pair_iterator_in_error_mode_xfail_osxsafe():
+    rparser = ReadParser(_data("test-abund-read-impaired.fa"))
+
+    failed = True
+    try:
+        for _ in rparser.iter_read_pairs():
+            pass
+        failed = False
+    except ValueError as exc:
+        assert "Invalid read pair" in str(exc), str(exc)
+    assert failed

@@ -364,3 +364,23 @@ def test_memory_setting():
             assert False, 'previous command should have failed'
         except ValueError as err:
             assert 'cannot parse memory setting' in str(err)
+
+
+def test_expert_help(capsys):
+    # -x and -N are hidden by default but appear with --help-expert
+    import sys as _sys
+
+    from khmer_tpu import khmer_args
+
+    old_argv = _sys.argv[:]
+    _sys.argv.append('--help-expert')
+    parser = khmer_args.build_graph_args()
+
+    with pytest.raises(SystemExit):
+        parser.parse_args(['-h', '--help-expert'])
+
+    out, err = capsys.readouterr()
+    assert "--max-tablesize" in out
+    assert '--n_tables' in out
+
+    _sys.argv = old_argv

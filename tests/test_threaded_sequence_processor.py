@@ -162,3 +162,52 @@ def test_paired_2thread():
     assert len(x) == 2
     assert x['a/1'] == 'AAA'
     assert x['a/2'] == 'TTT'
+
+
+def test_paired_2thread_more_seq():
+    class TSPTestPairedProcess(ThreadedSequenceProcessor):
+        # do_process that ensures paired ends are kept together
+
+        def do_process(self):
+            inq = self.inqueue
+
+            while not self.done or not inq.empty():
+                try:
+                    g = inq.get(True, 1)
+                except queue.Empty:
+                    continue
+
+                if len(g.seqlist) == 2:
+                    first_rec = g.seqlist[0]
+                    second_rec = g.seqlist[1]
+
+                    assert first_rec['name'][:-1] == second_rec['name'][:-1]
+                    assert first_rec['name'][-1] == '1'
+                    assert second_rec['name'][-1] == '2'
+
+                keep = []
+                for record in g.seqlist:
+                    name, sequence = self.process_fn(record)
+                    if name:
+                        keep.append((name, sequence, None))
+
+                self.outqueue.put(SequenceGroup(0, keep))
+
+            self.worker_count -= 1
+
+    tsp = TSPTestPairedProcess(idem, 1, 1, verbose=False)
+
+    inseqs = [Read(name='b/1', sequence='AAA'),
+              Read(name='a/1', sequence='AAA'),
+              Read(name='a/2', sequence='TTT'),
+              Read(name='c/2', sequence='AAA')]
+    outfp = StringIO()
+
+    tsp.start(inseqs, outfp)
+
+    x = load_records_d(outfp)
+    assert len(x) == 4, x
+    assert x['a/1'] == 'AAA'
+    assert x['a/2'] == 'TTT'
+    assert x['b/1'] == 'AAA'
+    assert x['c/2'] == 'AAA'
