@@ -359,7 +359,10 @@ class DeferredCounter:
     behavior degenerates to exactly one combine + one flush window.
     """
 
-    MERGE_EVERY = 1 << 25
+    # cycle sort size: bigger = fewer sorts per consume, more HBM.
+    # KHMER_TPU_MERGE_LOG overrides for hardware tuning sweeps
+    # (benchmarks/tune_consume.py).
+    MERGE_EVERY = 1 << int(os.environ.get("KHMER_TPU_MERGE_LOG", "25"))
 
     def __init__(self, storage, chunk_lanes, cap=None, max_cap=None,
                  unit=True):
