@@ -108,3 +108,84 @@ def test_stamps_pipeline_downscaled(tmpdir, ref_data):
     assert os.path.exists(reads + ".keep")
     assert os.path.exists(reads + ".part")
     assert os.path.exists(reads + ".keep.abundfilt")
+
+
+def test_cpp_api_examples(tmpdir, ref_test_data):
+    """Build and run the examples/c++-api demos (reference
+    examples/c++-api): exact-counting and bloom print the reference
+    demo outputs; consume streams a real read file through the native
+    loader and its counts must agree with khmer_tpu.Counttable bit for
+    bit (same canonical murmur hash, same prime selection, same
+    ByteStorage saturation)."""
+    import gzip
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ compiler")
+    srcdir = os.path.join(EXAMPLES, "c++-api")
+    # build into a tmpdir so parallel xdist workers never race on the
+    # in-tree binaries
+    blddir = str(tmpdir.join("bld"))
+    shutil.copytree(srcdir, blddir)
+    native = os.path.join(REPO, "khmer_tpu", "native")
+    r = subprocess.run(["make", "-C", blddir, "NATIVE=" + native, "all"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out = subprocess.run([os.path.join(blddir, "exact-counting")],
+                         capture_output=True, text=True).stdout
+    assert "count for: ATGGCGATGGC is 1" in out
+    assert "count for: ATGGCGATGGC is 2" in out
+    assert "count for: GTGGCGATGGC is 0" in out
+
+    out = subprocess.run([os.path.join(blddir, "bloom")],
+                         capture_output=True, text=True).stdout
+    assert out.count("'GCTGCACCGATGTACGCAAAG' is 1") == 2
+    assert "'GATTACAGATTACAGATTACA' is 0" in out
+
+    infile = os.path.join(ref_test_data, "100-reads.fq.gz")
+    if not os.path.exists(infile):
+        pytest.skip("reference test data unavailable")
+
+    import khmer_tpu
+    from khmer_tpu.primes import get_n_primes_near_x
+
+    ct = khmer_tpu.Counttable(21, primes=get_n_primes_near_x(4, 1000000))
+    n_seqs, n_kmers = ct.consume_seqfile(infile)
+    with gzip.open(infile, "rt") as f:
+        lines = f.read().splitlines()
+    seqs = [lines[i + 1] for i in range(0, len(lines), 4)
+            if len(lines[i + 1]) >= 61]
+    # a spread of query k-mers, including the most-repeated one so the
+    # parity check sees counts > 1
+    queries = [seqs[0][:21], seqs[5][10:31], seqs[11][30:51]]
+    best = max((s[j:j + 21] for s in seqs[:50] for j in (0, 20, 40)),
+               key=lambda q: ct.get(q))
+    queries.append(best)
+    r = subprocess.run([os.path.join(blddir, "consume"), infile,
+                        "1000000"] + queries,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Loaded %d sequences and %d k-mers" % (n_seqs, n_kmers) \
+        in r.stdout
+    for q in queries:
+        assert "'%s' appears %d times" % (q, ct.get(q)) in r.stdout
+
+def test_stamps_plot_distributions(tmpdir):
+    """plot-distributions.py (script form of the reference's
+    "examples/stamps k-mer distributions.ipynb") renders the five PNGs
+    from abundance-dist CSV outputs."""
+    pytest.importorskip("matplotlib")
+    out = tmpdir.mkdir("out")
+    for name in ("stamps-reads.hist", "stamps-part.g0.hist",
+                 "stamps-part.g1.hist", "stamps-dn.hist",
+                 "stamps-dn3.hist"):
+        with open(str(out.join(name)), "w") as f:
+            f.write("abundance,count,cumulative,cumulative_fraction\n")
+            for a in range(1, 30):
+                f.write("%d,%d,0,0.0\n" % (a, max(0, 200 - 7 * a)))
+    script = os.path.join(EXAMPLES, "stamps", "plot-distributions.py")
+    _run([script, str(out)])
+    for png in ("stamps-reads.png", "diginorm.png", "diginorm-dn3.png",
+                "stamps-partitions.png"):
+        assert os.path.exists(str(out.join(png))), png
