@@ -361,3 +361,13 @@ def test_extract_compact_dbg_1():
     # re-walkable), which this repo honors.  With script-level
     # single-counting of walked unitigs the output is deterministic:
     assert '145 segments, containing 2766 nodes' in out
+
+
+def test_all_scripts_in_readme():
+    """Every sandbox script must be mentioned in sandbox/README.md
+    (reference policy: sandbox/README.rst listing, enforced here)."""
+    with open(os.path.join(SANDBOX_PATH, "README.md")) as f:
+        readme = f.read()
+    missing = [os.path.basename(s) for s in _sandbox_scripts()
+               if "`%s`" % os.path.basename(s) not in readme]
+    assert not missing, "not in sandbox/README.md: %s" % missing
