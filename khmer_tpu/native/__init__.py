@@ -29,11 +29,19 @@ _build_failed = False
 def _build():
     from khmer_tpu._version import __version__
 
+    # pid-unique temp name: concurrent builders (pytest-xdist workers,
+    # CLI subprocesses racing a source update) must not interleave
+    # writes into one .tmp before the atomic rename
+    tmp = "%s.tmp.%d" % (_SO, os.getpid())
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
            _SRC_RA, '-DKHMER_TPU_VERSION="%s"' % __version__,
-           "-lz", "-l:libbz2.so.1", "-o", _SO + ".tmp"]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + ".tmp", _SO)
+           "-lz", "-l:libbz2.so.1", "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def native_version():

@@ -217,7 +217,11 @@ struct Loader {
     uint64_t n_consumed = 0;  // total k-mers (reads >= k contribute n-k+1)
     uint64_t n_bases = 0;
 
-    std::string pending_line;  // lookahead (FASTA header handling)
+    // line-spill assembly (lines crossing a refill boundary) and the
+    // one-line FASTA-header lookahead; both reused across reads so the
+    // steady state allocates nothing per read
+    std::string linebuf;
+    std::string pending_line;
     bool have_pending = false;
 
     int err = 0;
@@ -237,14 +241,34 @@ const uint8_t* code_lut() {
     return lut;
 }
 
-// read one line (without trailing newline/CR); returns false at EOF
-bool next_line(Loader* L, std::string& out) {
+// View of the next line (without trailing newline/CR); returns false
+// at EOF.  The view stays valid only until the next next_line() call —
+// it points into the decompression buffer in the common case (zero
+// copies, zero allocations) and into L->linebuf when the line spans a
+// buffer refill.
+bool next_line(Loader* L, const char** p, size_t* len) {
     if (L->have_pending) {
-        out.swap(L->pending_line);
         L->have_pending = false;
+        *p = L->pending_line.data();
+        *len = L->pending_line.size();
         return true;
     }
-    out.clear();
+    // fast path: the whole line is already in the buffer
+    if (L->buf_pos < L->buf_len) {
+        char* base = L->buf.data() + L->buf_pos;
+        size_t avail = L->buf_len - L->buf_pos;
+        char* nl = (char*)memchr(base, '\n', avail);
+        if (nl) {
+            size_t n = (size_t)(nl - base);
+            L->buf_pos += n + 1;
+            if (n && base[n - 1] == '\r') n--;
+            *p = base;
+            *len = n;
+            return true;
+        }
+    }
+    // slow path: assemble across one or more refills
+    L->linebuf.clear();
     for (;;) {
         if (L->buf_pos >= L->buf_len) {
             if (L->eof) break;
@@ -259,28 +283,44 @@ bool next_line(Loader* L, std::string& out) {
         size_t avail = L->buf_len - L->buf_pos;
         char* nl = (char*)memchr(base, '\n', avail);
         if (nl) {
-            out.append(base, nl - base);
+            L->linebuf.append(base, nl - base);
             L->buf_pos += (nl - base) + 1;
             break;
         }
-        out.append(base, avail);
+        L->linebuf.append(base, avail);
         L->buf_pos = L->buf_len;
     }
-    if (!out.empty() && out.back() == '\r') out.pop_back();
-    return !(out.empty() && L->eof && L->buf_pos >= L->buf_len);
+    size_t n = L->linebuf.size();
+    if (n && L->linebuf[n - 1] == '\r') n--;
+    *p = L->linebuf.data();
+    *len = n;
+    return !(n == 0 && L->eof && L->buf_pos >= L->buf_len);
 }
 
-void push_line(Loader* L, std::string& line) {
-    L->pending_line.swap(line);
+// stash a just-returned line (the FASTA lookahead header) so the next
+// next_line() call re-delivers it; copies because the view's storage
+// may be overwritten by the next buffer refill
+void push_line(Loader* L, const char* p, size_t len) {
+    L->pending_line.assign(p, len);
     L->have_pending = true;
+}
+
+// append a cleaned+2-bit-encoded sequence line to L->codes
+void encode_append(Loader* L, const char* p, size_t len) {
+    const uint8_t* lut = code_lut();
+    size_t off = L->codes.size();
+    L->codes.resize(off + len);
+    uint8_t* out = L->codes.data() + off;
+    for (size_t i = 0; i < len; i++)
+        out[i] = lut[(unsigned char)p[i]];
 }
 
 // parse the next read's sequence into L->codes; false when exhausted
 bool next_read(Loader* L) {
-    std::string line;
+    const char* line; size_t n;
     for (;;) {
-        if (!next_line(L, line)) return false;
-        if (!line.empty()) break;
+        if (!next_line(L, &line, &n)) return false;
+        if (n != 0) break;
     }
     if (!L->format_known) {
         if (line[0] == '@') L->is_fastq = true;
@@ -288,33 +328,29 @@ bool next_read(Loader* L) {
         else { L->err = 2; return false; }
         L->format_known = true;
     }
-    const uint8_t* lut = code_lut();
     L->codes.clear();
     if (L->is_fastq) {
         if (line[0] != '@') { L->err = 2; return false; }
-        std::string seq;
-        if (!next_line(L, seq)) { L->err = 2; return false; }
-        std::string plus;
-        if (!next_line(L, plus) || plus.empty() || plus[0] != '+') {
+        const char* seq; size_t seqn;
+        if (!next_line(L, &seq, &seqn)) { L->err = 2; return false; }
+        encode_append(L, seq, seqn);  // before the next refill clobbers it
+        const char* plus; size_t plusn;
+        if (!next_line(L, &plus, &plusn) || plusn == 0 || plus[0] != '+') {
             L->err = 2; return false;
         }
-        std::string qual;
-        if (!next_line(L, qual)) { L->err = 2; return false; }
-        L->codes.resize(seq.size());
-        for (size_t i = 0; i < seq.size(); i++)
-            L->codes[i] = lut[(unsigned char)seq[i]];
+        const char* qual; size_t qualn;  // scanned, never copied
+        if (!next_line(L, &qual, &qualn)) { L->err = 2; return false; }
     } else {
         if (line[0] != '>') { L->err = 2; return false; }
-        std::string seq;
+        const char* part; size_t partn;
         for (;;) {
-            std::string part;
-            if (!next_line(L, part)) break;
-            if (!part.empty() && part[0] == '>') { push_line(L, part); break; }
-            seq += part;
+            if (!next_line(L, &part, &partn)) break;
+            if (partn != 0 && part[0] == '>') {
+                push_line(L, part, partn);
+                break;
+            }
+            encode_append(L, part, partn);
         }
-        L->codes.resize(seq.size());
-        for (size_t i = 0; i < seq.size(); i++)
-            L->codes[i] = lut[(unsigned char)seq[i]];
     }
     L->n_reads++;
     L->n_bases += L->codes.size();
