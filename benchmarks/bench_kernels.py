@@ -12,6 +12,7 @@ Kernels:
   scatter_add      — random u32 scatter-add (M lanes/s)
   gather           — random [T, N] gather (M lanes/s)
   flush            — distinct-lane sketch flush (premin + scatter)
+  loader           — native parse+clean+encode+chunk (MB/s of FASTA)
   consume_e2e      — Countgraph.consume_seqfile on a 70MB read set
 
 Usage: python benchmarks/bench_kernels.py [--json-out PATH]
@@ -108,12 +109,29 @@ def main():
     res["flush_scatter_mlanes_s"] = round(
         F / (time.perf_counter() - t0) / 1e6, 1)
 
+    # native loader: parse + clean + 2-bit encode + chunk batching,
+    # pure host work (no device involved) — the parse ceiling for the
+    # consume pipeline
+    path = os.path.join(tempfile.gettempdir(), "khmer_tpu_bench_reads.fa")
+    if os.path.exists(path):
+        from khmer_tpu.native import NativeChunkReader, native_available
+
+        if native_available():
+            best = 0.0
+            for _ in range(3):
+                rd = NativeChunkReader(path, 20, 1 << 22)
+                t0 = time.perf_counter()
+                for _data, _mask in rd:
+                    pass
+                best = max(best, os.path.getsize(path) /
+                           (time.perf_counter() - t0) / 1e6)
+                rd.close()
+            res["loader_mbps"] = round(best, 1)
+
     # end-to-end consume (skipped on cpu: dominated by host parse)
     if not cpu:
         import khmer_tpu
 
-        path = os.path.join(tempfile.gettempdir(),
-                            "khmer_tpu_bench_reads.fa")
         if os.path.exists(path):
             best = 0.0
             for _ in range(2):
