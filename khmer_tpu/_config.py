@@ -27,6 +27,18 @@ if _plat:
 jax.config.update("jax_compilation_cache_dir", "/tmp/khmer_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# KHMER_TPU_PROFILE=<dir> captures a device profile (XProf/TensorBoard
+# trace: per-op device time, HBM traffic, h2d/d2h activity) for the
+# whole process — the profiler hook of the tracing subsystem (SURVEY
+# §5; complements the KHMER_TPU_TIMING per-stage wall clocks in
+# ops/deferred.py).  View with `tensorboard --logdir <dir>` or xprof.
+_profile_dir = os.environ.get("KHMER_TPU_PROFILE")
+if _profile_dir:
+    import atexit
+
+    jax.profiler.start_trace(_profile_dir)
+    atexit.register(jax.profiler.stop_trace)
+
 #: dtype used for k-mer hash values everywhere (parity with oxli HashIntoType)
 import jax.numpy as jnp  # noqa: E402
 
