@@ -181,7 +181,9 @@ def _consume_chunk_size():
 
     env = os.environ.get("KHMER_TPU_CHUNK")
     if env:
-        return int(env)
+        # the device kernels tile chunks into [rows, ROW_PAYLOAD(+k-1)]
+        # windows, so a chunk below one row payload is not expressible
+        return max(int(env), ROW_PAYLOAD)
     if jax.default_backend() == "cpu":
         return CHUNK
     return 1 << 23

@@ -221,3 +221,41 @@ def test_consume_seqfile_with_mask(tmp_path):
     cg.consume_seqfile_with_mask(str(fa), mask, 0)
     assert cg.get(seq[:20]) == 0
     assert cg.get(seq[1:21]) == 1
+
+
+def test_ledger_overflow_count_exactness(monkeypatch, tmp_path):
+    """Forcing the deferred counter's ledger to overflow mid-consume
+    (tiny KHMER_TPU_DEFER_CAP/KHMER_TPU_CHUNK) must leave the counted
+    table bit-identical to the single-flush path — overflow degrades
+    flush batching and the n_unique estimator's semantics (it becomes
+    the reference's incremental is-new test, storage.hh:575-628),
+    never the counts."""
+    rng = np.random.default_rng(99)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "wb") as f:
+        for i in range(2000):
+            f.write(b">r%d\n" % i)
+            f.write(lut[rng.integers(0, 4, 150)].tobytes() + b"\n")
+
+    full = Countgraph(20, 1_000_000, 4)
+    full.consume_seqfile(str(fa))  # default knobs: one flush
+
+    # chunk clamps to one row payload (16384 bases -> ~16k lanes), so
+    # max_cap = 32k lanes and the ledger budget = 4*32k = 131072 lanes
+    monkeypatch.setenv("KHMER_TPU_CHUNK", "2048")
+    monkeypatch.setenv("KHMER_TPU_DEFER_CAP", "4096")
+    tiny = Countgraph(20, 1_000_000, 4)
+    tiny.consume_seqfile(str(fa))
+
+    assert np.array_equal(np.asarray(tiny.storage.table),
+                          np.asarray(full.storage.table))
+    assert tiny.n_occupied() == full.n_occupied()
+    # ~260k distinct hashes >> the 131k-lane ledger budget: the
+    # overflow path must actually have engaged for this test to mean
+    # anything
+    assert full.n_unique_kmers() > 140_000
+    # overflow n_unique = incremental estimator: <= exact, close at
+    # this load factor
+    assert tiny.n_unique_kmers() <= full.n_unique_kmers()
+    assert tiny.n_unique_kmers() > 0.9 * full.n_unique_kmers()
