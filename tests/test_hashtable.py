@@ -259,3 +259,31 @@ def test_ledger_overflow_count_exactness(monkeypatch, tmp_path):
     # this load factor
     assert tiny.n_unique_kmers() <= full.n_unique_kmers()
     assert tiny.n_unique_kmers() > 0.9 * full.n_unique_kmers()
+
+
+def test_merge_cycle_size_invariance(monkeypatch, tmp_path):
+    """The cycle sort size (KHMER_TPU_MERGE_LOG / MERGE_EVERY) is a
+    pure performance knob: any value must give a bit-identical table
+    AND an identical (retain-path) n_unique.  Protects the hardware
+    tuning sweep (benchmarks/tune_consume.py) from silently trading
+    correctness for speed."""
+    from khmer_tpu.ops.deferred import DeferredCounter
+
+    rng = np.random.default_rng(7)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "wb") as f:
+        for i in range(1200):
+            f.write(b">r%d\n" % i)
+            f.write(lut[rng.integers(0, 4, 150)].tobytes() + b"\n")
+
+    base = Countgraph(20, 1_000_000, 4)
+    base.consume_seqfile(str(fa))
+    ref_table = np.asarray(base.storage.table)
+
+    for log2 in (17, 19):
+        monkeypatch.setattr(DeferredCounter, "MERGE_EVERY", 1 << log2)
+        cg = Countgraph(20, 1_000_000, 4)
+        cg.consume_seqfile(str(fa))
+        assert np.array_equal(np.asarray(cg.storage.table), ref_table), log2
+        assert cg.n_unique_kmers() == base.n_unique_kmers(), log2
