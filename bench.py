@@ -140,6 +140,20 @@ def main():
             lkg["stale"] = True
             lkg["error"] = out["error"]
             out = lkg
+        else:
+            # no bench.py-protocol record yet: surface the last
+            # committed TPU kernel capture (a DIFFERENT protocol —
+            # benchmarks/bench_kernels.py counters) rather than
+            # nothing, clearly labeled
+            bk = os.path.join(HERE, "BENCH_KERNELS.json")
+            if os.path.exists(bk):
+                with open(bk) as f:
+                    kern = json.load(f)
+                if kern.get("backend") not in (None, "cpu"):
+                    out["stale_kernels_record"] = kern
+                    out["stale_kernels_note"] = (
+                        "bench_kernels.py protocol (not bench.py's "
+                        "best-of-3), last captured on TPU")
         _emit(out)
         return
 
