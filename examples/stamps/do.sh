@@ -20,6 +20,7 @@ DATA="${KHMER_DATA:-/root/reference/data}"
 PY="${PYTHON:-python}"
 
 OUT="$HERE/out"
+rm -rf "$OUT" # re-runnable: several steps refuse to squash existing outputs
 mkdir -p "$OUT"
 cd "$OUT"
 
