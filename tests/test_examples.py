@@ -13,9 +13,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
 
 
-def _run(args, **kw):
+def _env():
+    """Subprocess env: force the CPU backend and make the in-repo
+    package importable regardless of how pytest itself was launched."""
     env = dict(os.environ)
     env.setdefault("KHMER_TPU_PLATFORM", "cpu")
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if REPO not in parts:
+        env["PYTHONPATH"] = os.pathsep.join([REPO] + parts)
+    return env
+
+
+def _run(args, **kw):
+    env = _env()
     try:
         r = subprocess.run([sys.executable] + args, capture_output=True,
                            text=True, env=env, timeout=420, **kw)
@@ -53,8 +63,7 @@ def test_nullomers_example(tmpdir):
                           "find-nullomers.py")
     # K=11 -> 4M lines of output; just check it starts and the first
     # lines look like "<kmer> <count>"
-    env = dict(os.environ)
-    env.setdefault("KHMER_TPU_PLATFORM", "cpu")
+    env = _env()
     p = subprocess.Popen([sys.executable, script, contig],
                          stdout=subprocess.PIPE, text=True, env=env)
     try:
