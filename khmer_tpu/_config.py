@@ -3,8 +3,9 @@
 khmer's hash space is 64-bit (``HashIntoType`` is ``uint64_t``, see reference
 include/oxli/oxli.hh:115), so the framework runs with ``jax_enable_x64``.
 On TPU, 64-bit integer ops are emulated by XLA with 32-bit pairs; the
-performance-critical paths get dedicated Pallas kernels that do the pair
-arithmetic explicitly (see khmer_tpu/pallas_kernels/).
+performance-critical paths do the pair arithmetic explicitly as
+phase-major u32 kernels (see khmer_tpu/ops/hashing.py and
+khmer_tpu/ops/deferred.py).
 
 Import this module before creating any JAX arrays.
 """

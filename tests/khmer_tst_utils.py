@@ -8,10 +8,19 @@ import runpy
 import sys
 import traceback
 
-SCRIPTS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
-SANDBOX_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sandbox")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS_DIR = os.path.join(REPO_ROOT, "scripts")
+SANDBOX_DIR = os.path.join(REPO_ROOT, "sandbox")
+
+
+def subprocess_env(base=None):
+    """Environment for spawned test subprocesses: guarantees the repo
+    root is on PYTHONPATH so ``import khmer_tpu`` works on a fresh
+    checkout (no install step), regardless of how pytest itself found
+    the package."""
+    env = dict(os.environ if base is None else base)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    return env
 
 
 def scriptpath(name=None):
@@ -123,7 +132,7 @@ def run_shell_cmd(cmd, fail_ok=False, in_directory=None):
     cwd = os.getcwd()
     if in_directory:
         os.chdir(in_directory)
-    env = dict(os.environ)
+    env = subprocess_env()
     env["PATH"] = SCRIPTS_DIR + os.pathsep + SANDBOX_DIR + \
         os.pathsep + env.get("PATH", "")
     env.setdefault("KHMER_TPU_PLATFORM", env.get("KHMER_TPU_PLATFORM",

@@ -35,8 +35,10 @@ def test_two_process_distributed_count_bit_equal(tmpdir):
         pytest.skip("native loader not built")
     infile = os.path.join(REF_TEST_DATA, "100-reads.fq.gz")
     port = _free_port()
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    from . import khmer_tst_utils as tst
+    env = tst.subprocess_env(
+        {k: v for k, v in os.environ.items()
+         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(port), str(pid), "2", infile,

@@ -33,7 +33,7 @@ print(cg.n_unique_kmers())
 
 
 def _run(extra_env, tmpdir):
-    env = dict(os.environ)
+    env = utils.subprocess_env()
     env["KHMER_TPU_PLATFORM"] = "cpu"
     env.pop("KHMER_TPU_TIMING", None)
     env.pop("KHMER_TPU_TIMING_OUT", None)
