@@ -49,7 +49,7 @@ def main():
     from jax import lax
 
     from khmer_tpu.ops.deferred import (combine_lanes, combine_unit_lanes,
-                                        make_premin_fn, make_scatter_fn)
+                                        make_flush_fn)
     from khmer_tpu.ops.hashing import kmer_hashes_2bit_pm_u32
     from khmer_tpu.ops.sketch_ops import SketchSpec, alloc_table
     from khmer_tpu.primes import get_n_primes_near_x
@@ -70,13 +70,15 @@ def main():
     n = 1 << (20 if cpu else 24)
     keys = jnp.asarray(rng.integers(0, 1 << 40, n, dtype=np.uint64))
     wgts = jnp.ones(n, jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.uint32)
     s = jax.jit(lambda k, w: lax.sort((k, w), num_keys=1))
     res["sort_u64_mlanes_s"] = round(n / timeit(s, keys, wgts) / 1e6, 1)
     c = jax.jit(combine_lanes)
     res["combine_lanes_mlanes_s"] = round(
-        n / timeit(c, keys, wgts) / 1e6, 1)
+        n / timeit(c, keys, wgts, idx) / 1e6, 1)
     cu = jax.jit(combine_unit_lanes)
-    res["combine_unit_mlanes_s"] = round(n / timeit(cu, keys) / 1e6, 1)
+    res["combine_unit_mlanes_s"] = round(
+        n / timeit(cu, keys, idx) / 1e6, 1)
 
     # scatter / gather at sketch shapes
     bins = 10_000_019 if cpu else 100_000_003
@@ -87,27 +89,29 @@ def main():
     ga = jax.jit(lambda t, i: t[i])
     res["gather_mlanes_s"] = round(n / timeit(ga, tbl, idx) / 1e6, 1)
 
-    # distinct-lane flush: premin gather phase (preloaded-table path)
-    # and the scatter phase (the ONLY random access of a virgin-table
-    # consume)
+    # distinct-lane flush: the full per-table sort + claim + sorted
+    # scatter pipeline, virgin (load-into-counting) and preloaded
+    # (mask/filter) variants.  One number each, in distinct lanes/s —
+    # every lane costs n_tables sorted-scatter lanes plus (preloaded)
+    # n_tables gather lanes.
     primes = tuple(get_n_primes_near_x(4, 1_000_000 if cpu else bins))
     spec = SketchSpec("byte", primes, False)
-    table = alloc_table(spec)
-    pf = make_premin_fn(spec)
-    sf = make_scatter_fn(spec)
     F = 1 << (18 if cpu else 22)
     fk = jnp.asarray(np.sort(rng.integers(0, 1 << 40, F,
                                           dtype=np.uint64)))
     fw = jnp.ones(F, jnp.uint32)
-    res["flush_premin_mlanes_s"] = round(
-        F / timeit(pf, table, fk, fw) / 1e6, 1)
+    ff = jnp.arange(F, dtype=jnp.uint32)
 
-    _sync(sf(alloc_table(spec), fk, fw))
-    t0 = time.perf_counter()
-    out = sf(alloc_table(spec), fk, fw)
-    _sync(out)
-    res["flush_scatter_mlanes_s"] = round(
-        F / (time.perf_counter() - t0) / 1e6, 1)
+    def flush_once(virgin):
+        fn = make_flush_fn(spec, virgin, False)
+        _sync(fn(alloc_table(spec), fk, fw, ff))
+        t0 = time.perf_counter()
+        out = fn(alloc_table(spec), fk, fw, ff)
+        _sync(out)
+        return F / (time.perf_counter() - t0) / 1e6
+
+    res["flush_virgin_mlanes_s"] = round(flush_once(True), 1)
+    res["flush_preloaded_mlanes_s"] = round(flush_once(False), 1)
 
     # native loader: parse + clean + 2-bit encode + chunk batching,
     # pure host work (no device involved) — the parse ceiling for the

@@ -108,12 +108,9 @@ class Hashgraph(Hashtable):
         hashes = self._hash_array(sequence)
         if hashes.size == 0:
             return 0
-        premin_new = np.asarray(self.storage.add_batch(hashes))
-        # sequential semantics: only a hash's first occurrence is "new"
-        _, first_idx = np.unique(hashes, return_index=True)
-        isnew = np.zeros(hashes.size, bool)
-        isnew[first_idx] = True
-        isnew &= premin_new
+        # add_batch's per-lane flags carry the reference's exact
+        # sequential test_and_set_bits semantics (storage.add_batch)
+        isnew = np.asarray(self.storage.add_batch(hashes))
         self._tag_from_hashes(hashes, isnew, found_tags)
         return int(isnew.sum())
 
@@ -179,13 +176,9 @@ class Hashgraph(Hashtable):
             np.zeros(0, np.uint64)
         if flat.size == 0:
             return 0
-        premin_new = np.asarray(self.storage.add_batch(flat))
-        # sequential semantics across the whole batch: only a hash's
-        # first occurrence can be "new"
-        _, first_idx = np.unique(flat, return_index=True)
-        isnew = np.zeros(flat.size, bool)
-        isnew[first_idx] = True
-        isnew &= premin_new
+        # reference-exact sequential flags across the whole batch
+        # (storage.add_batch; lane order == read/k-mer order here)
+        isnew = np.asarray(self.storage.add_batch(flat))
         n_consumed = int(isnew.sum())
         off = 0
         for hashes in hash_rows:

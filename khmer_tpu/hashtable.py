@@ -97,10 +97,12 @@ def _rows_from_flat(data, k, payload):
 
 
 def _chunk_hashes_weights(data, weights, k, hash_kind, payload):
-    """Fused hashing of a flat chunk: returns (hashes, w) flat device
-    arrays covering every window of the chunk exactly once (in
-    phase-major order for the 2-bit path — bulk consumers are
-    order-agnostic)."""
+    """Fused hashing of a flat chunk: returns (hashes, w, pos) flat
+    device arrays covering every window of the chunk exactly once (in
+    phase-major order for the 2-bit path).  `pos` is each lane's
+    window start position in the flat stream — the insertion order of
+    the reference's serial loop, needed for the exact n_unique claim
+    rule (ops/deferred.py docstring)."""
     C = data.shape[0]
     R = C // payload
     rows = _rows_from_flat(data, k, payload)
@@ -117,12 +119,22 @@ def _chunk_hashes_weights(data, weights, k, hash_kind, payload):
         wpad = jnp.zeros((R, P * nw), weights.dtype)
         wpad = wpad.at[:, :payload].set(w2d)
         w_pm = jnp.transpose(wpad.reshape(R, nw, P), (2, 0, 1))
-        return canon.reshape(-1), w_pm.reshape(-1)
+        # lane (ph, r, j) is the window at stream position
+        # r*payload + 16*j + ph (ops/hashing.kmer_hashes_2bit_pm_u32)
+        ph_i = jax.lax.broadcasted_iota(jnp.uint32, (P, R, nw), 0)
+        r_i = jax.lax.broadcasted_iota(jnp.uint32, (P, R, nw), 1)
+        j_i = jax.lax.broadcasted_iota(jnp.uint32, (P, R, nw), 2)
+        pos = r_i * jnp.uint32(payload) + j_i * jnp.uint32(P) + ph_i
+        return canon.reshape(-1), w_pm.reshape(-1), pos.reshape(-1)
     h, _ = _bytes_hash(hash_kind)(
         rows, jnp.full((R,), rows.shape[1], jnp.int32), k,
         assume_acgt=True)
     # byte rows yield exactly `payload` windows per row, in order
-    return h[:, :payload].reshape(-1), w2d.reshape(-1)
+    r_i = jax.lax.broadcasted_iota(jnp.uint32, (R, payload), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.uint32, (R, payload), 1)
+    pos = r_i * jnp.uint32(payload) + c_i
+    return (h[:, :payload].reshape(-1), w2d.reshape(-1),
+            pos.reshape(-1))
 
 
 @lru_cache(maxsize=None)
@@ -138,7 +150,7 @@ def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False,
     def fn(table, occ, uniq, data, weights, *extra):
         if from_codes and hash_kind != "2bit":
             data = _decode_codes(data)
-        hashes, w = _chunk_hashes_weights(
+        hashes, w, pos = _chunk_hashes_weights(
             data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
         i = 0
         if banded:
@@ -154,7 +166,7 @@ def _make_consume_fn(spec, k, hash_kind, masked, banded, from_codes=False,
                 keep = mc.astype(U32) <= threshold
             w = w * keep.astype(U32)
         table, occ, uniq, aux = sketch_update(
-            spec, table, occ, uniq, hashes, w)
+            spec, table, occ, uniq, hashes, w, pos)
         # reference counts only the k-mers that passed the filters
         # (this_n_consumed, hashtable.cc:181-191)
         aux = dict(aux)
@@ -295,11 +307,13 @@ def _make_append_fn(k, hash_kind, masked, banded, from_codes=False,
     One dispatch per chunk; no random table access at all.  With
     packed=True, `data` is the single bit-packed codes+mask buffer
     (_pack_chunk), unpacked on device, and `weights` is absent.
-    UNIT-weight: a window either counts once or is invalid, so only
-    the key buffer moves (invalid lanes are SENTINEL keys)."""
+    UNIT-weight: a window either counts once or is invalid, so the
+    key buffer moves as SENTINEL-masked u64 lanes plus a u32 stream
+    position per lane (pos_base + window start — the serial insertion
+    order the exact n_unique claim rule needs)."""
     from khmer_tpu.ops.deferred import SENTINEL
 
-    def fn(kbuf, fill, consumed, data, *rest):
+    def fn(kbuf, ibuf, fill, pos_base, consumed, data, *rest):
         if packed:
             data, weights = _unpack_chunk(data)
             extra = rest
@@ -307,7 +321,7 @@ def _make_append_fn(k, hash_kind, masked, banded, from_codes=False,
             weights, extra = rest[0], rest[1:]
         if from_codes and hash_kind != "2bit":
             data = _decode_codes(data)
-        hashes, w = _chunk_hashes_weights(
+        hashes, w, pos = _chunk_hashes_weights(
             data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
         i = 0
         if banded:
@@ -325,9 +339,11 @@ def _make_append_fn(k, hash_kind, masked, banded, from_codes=False,
         consumed = consumed + jnp.sum(w.astype(U64))
         key = jnp.where(w > 0, hashes, SENTINEL)
         kbuf = jax.lax.dynamic_update_slice(kbuf, key, (fill,))
-        return kbuf, consumed
+        ibuf = jax.lax.dynamic_update_slice(
+            ibuf, pos_base + pos, (fill,))
+        return kbuf, ibuf, consumed
 
-    return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn, donate_argnums=(0, 1))
 
 
 @lru_cache(maxsize=None)
@@ -384,7 +400,7 @@ def _make_abund_counter(tracking_storage, chunk_lanes, main_spec,
             self._abund_fn = _make_abund_flush_fn(
                 main_spec, tracking_storage._read_spec())
 
-        def _flush_windows(self, mk, mw, n, F):
+        def _flush_windows(self, mk, mw, mf, n, F):
             st = self.storage
             for off in range(0, n, F):
                 st.table, st._n_unique, self.dist = self._abund_fn(
@@ -416,7 +432,7 @@ def _make_abund_dist_fn(spec, tracking_spec, k, hash_kind, want_lanes,
             weights = rest[0]
         if from_codes and hash_kind != "2bit":
             data = _decode_codes(data)
-        hashes, w = _chunk_hashes_weights(
+        hashes, w, _pos = _chunk_hashes_weights(
             data, weights.astype(U32), k, hash_kind, ROW_PAYLOAD)
         # pre-update tracking membership
         member = sketch_get(tracking_spec, t_table, hashes)
@@ -947,22 +963,41 @@ class Hashtable:
 
         from khmer_tpu.ops.deferred import stage, timing_enabled
 
+        # batch the host->device transfers: one jax.device_put carries
+        # a ~0.2 s fixed round-trip cost on tunneled devices, while a
+        # BATCHED put of several buffers pays it once and streams the
+        # bytes in the background (measured: 8x3MB puts 1.9 s vs one
+        # batched put 0.03 s enqueue)
+        PUT_BATCH = 4
+
         def produce():
             import time as _t
 
+            pend = []
+
+            def flush_pend():
+                t1 = _t.perf_counter()
+                devs = jax.device_put(pend)
+                if timing_enabled():
+                    from khmer_tpu.ops.deferred import STAGE_TIMES
+
+                    STAGE_TIMES["h2d-enqueue"] += _t.perf_counter() - t1
+                pend.clear()
+                return devs
+
             for data, weights in reader:
                 t0 = _t.perf_counter()
-                buf = _pack_chunk(data, weights)
-                t1 = _t.perf_counter()
-                dev = jax.device_put(buf)
+                pend.append(_pack_chunk(data, weights))
                 if timing_enabled():
                     from khmer_tpu.ops.deferred import (STAGE_LANES,
                                                         STAGE_TIMES)
 
-                    STAGE_TIMES["pack"] += t1 - t0
-                    STAGE_TIMES["h2d-enqueue"] += _t.perf_counter() - t1
+                    STAGE_TIMES["pack"] += _t.perf_counter() - t0
                     STAGE_LANES["pack"] += int(data.shape[0])
-                yield dev
+                if len(pend) >= PUT_BATCH:
+                    yield from flush_pend()
+            if pend:
+                yield from flush_pend()
 
         for buf in _producer_stream(produce):
             with stage("append-dispatch", lanes=counter.chunk_lanes):
@@ -1357,7 +1392,7 @@ class QFCounttable(Hashtable):
 
         def run(data, weights):
             nonlocal n_consumed
-            hashes, w = _chunk_hashes_weights(
+            hashes, w, _pos = _chunk_hashes_weights(
                 jax.device_put(data),
                 jax.device_put(weights.astype(np.uint32)),
                 self._ksize, self.hash_kind, ROW_PAYLOAD)

@@ -3,49 +3,54 @@
 The reference's bulk loaders (load-into-counting / load-graph /
 abundance-dist-single; hot loop src/oxli/hashtable.cc:133-158) insert
 every k-mer occurrence into the sketch as it streams by.  On TPU a
-random scatter/gather runs at ~100 M lanes/s while a 64-bit sort runs
-at 200-300 M keys/s, so inserting each *occurrence* (T tables x N
+random scatter/gather runs at ~90 M lanes/s while a 64-bit sort runs
+at ~280 M keys/s, so inserting each *occurrence* (T tables x N
 windows of random lanes) is the wrong primitive: round 1 measured
 12 MB/s end-to-end against a 5.6 GB/s hash kernel.
 
-Round-3 design ("retain mode"): the sketch scatter is deferred to the
-very END of the consume.
+Design ("retain mode", rounds 3-4):
 
-  * chunks of hashed windows append raw into a device KEY buffer (a
-    dynamic-update-slice — no random access, no host round trips).
-    The streaming path is unit-weight (a window either counts once or
-    is invalid), so only keys move: invalid windows are SENTINEL keys.
-  * when the buffer reaches its cycle size, one keys-only sort finds
-    duplicate runs, run lengths become the occurrence totals, and one
-    compaction sort packs the distinct (key, total) lanes to the
-    front.  The compacted lanes are RETAINED in a device-side LEDGER
-    (a bag of per-cycle distinct runs) instead of being scattered into
-    the sketch; the append buffer resets.
-  * finish() combines the ledger (cross-cycle duplicates add), then
-    performs ONE flush: a premin/gather phase against the PRE-CONSUME
-    table (n_unique and bigcount accounting), then one scatter-add of
-    one lane per globally-distinct hash.  When the consume started
-    from a virgin (all-zero) table — the load-into-counting case — the
-    gather phase is skipped entirely: every distinct key is new and
-    bigcount candidates are simply totals > MAX_KCOUNT.
+  * chunks of hashed windows append raw into device KEY + SEQ-INDEX
+    buffers (dynamic-update-slices — no random access, no host round
+    trips).  The streaming path is unit-weight (a window either counts
+    once or is invalid), so keys move as SENTINEL-masked u64 lanes and
+    each lane carries its uint32 POSITION in the consume's k-mer
+    stream (reads in file order, k-mers left-to-right — the exact
+    insertion order of the reference's serial loop).
+  * when the buffer reaches its cycle size, one (key, position) sort
+    finds duplicate runs; run lengths become occurrence totals and the
+    run-minimum position becomes the key's FIRST-OCCURRENCE index.
+    A compaction sort packs the distinct (key, total, first) lanes to
+    the front; they are RETAINED in a device-side LEDGER instead of
+    being scattered into the sketch; the append buffer resets.
+  * finish() combines the ledger (cross-cycle duplicates: totals add,
+    first-occurrence indices min), then flushes: per sketch table the
+    distinct lanes are sorted by (bin, first); the run head of each
+    bin run is the bin's FIRST CLAIMANT, run sums are the bin's total
+    increment, and one ascending-index scatter-add per table updates
+    the sketch.
 
-For C-times-repeated data (any real sequencing run, C >= 10) the
-random-access lane count is total-distinct, not occurrences, and it is
-paid ONCE per consume rather than once per cycle.  Host/device
-transfer is bit-packed (hashtable._pack_chunk) because wire bandwidth
-is the first bottleneck on tunneled/PCIe-fed accelerators.
+n_unique semantics — EXACT reference parity (storage.hh:176-203
+BitStorage::test_and_set_bits, :575-628 ByteStorage::add): the
+reference counts a k-mer occurrence as new iff SOME table's bin held
+zero immediately before that occurrence's insert, processing k-mers
+strictly sequentially.  Equivalently, a distinct hash h (first
+occurrence index i) is new iff for some table t, the pre-consume bin
+count is zero AND no hash in this consume with an earlier first
+occurrence maps to bin_t(h) — the claim rule.  Both parts are
+computed on device: the pre-count by a gather against the pre-flush
+table, the claim by the per-table (bin, first) sort.  A hash is
+suppressed only when it loses in EVERY table; suppressed hashes are
+counted by one sort of the per-table loser lane ids.
 
-n_unique semantics (shared with parallel/sharded.py so the sharded
-path is bit-equal): n_unique += the number of distinct consumed
-hashes whose min-over-tables count in the PRE-CONSUME table was zero.
-For small consumes this is identical to the round-2 batch-window rule
-(one window covered the whole file); for bulk consumes it is the
-batch rule with the window equal to the consume — deterministic,
-device-count-independent, and >= the reference's serial estimate
-(within-consume bin collisions never suppress it).  If the ledger
-overflows its capacity (more distinct lanes than KHMER_TPU_DEFER_CAP)
-the overflowing prefix is flushed mid-consume and the estimator
-becomes sequential-batch for the remainder, exactly round-2 behavior.
+This stays exact across multiple flushes (ledger overflow, or
+explicit windows): keys are flushed in first-occurrence order, so a
+later flush always sees earlier claimants as pre-count > 0 — exactly
+what the reference's serial loop would have seen.  The single caveat
+is consumes longer than 2**32 k-mer occurrences, where the uint32
+position wraps (the reference's own counters are exact but such a
+consume would need >4 GB of reads in ONE call; the estimator then
+degrades to batch semantics for ties only).
 """
 
 import os
@@ -60,20 +65,22 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from khmer_tpu.ops.sketch_ops import _bin_idx
-
 U32 = jnp.uint32
 U64 = jnp.uint64
 I32 = jnp.int32
+I64 = jnp.int64
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+IDX_SENTINEL = np.uint32(0xFFFFFFFF)
 # run totals are clamped here at merge time: far above MAX_BIGCOUNT
 # (65535) so every count read and bigcount resolution is exact, while
 # keeping u32 cumulative sums free of aliasing for any real input
 TOTAL_CLAMP = np.uint32(1 << 20)
-# largest flush window (device scatter granularity); actual windows
-# are bucketed powers of two <= this so tiny consumes stay tiny
-FLUSH_SLICE = 1 << 22
+# largest flush window (device scatter granularity).  Windows are
+# EXACT: the pre-window sort orders distinct keys by first occurrence,
+# so window j+1 sees window j's scatters as pre-count > 0 — the same
+# state the reference's serial loop would be in.
+FLUSH_SLICE = 1 << 23
 # smallest buffer/bucket granule: one hash-kernel row of lanes
 MIN_BUCKET = 1 << 14
 # buffer sizing hint for the sharded consumer's per-shard cap
@@ -143,8 +150,8 @@ def _next_pow2(n):
 
 
 def default_max_cap():
-    """Buffer ceiling in lanes (8 bytes/lane for the unit-weight key
-    buffer): ~1 GB of HBM on a real accelerator, modest on the CPU
+    """Buffer ceiling in lanes (12 bytes/lane for the key + position
+    buffers): ~1.5 GB of HBM on a real accelerator, modest on the CPU
     test backend.  Override with KHMER_TPU_DEFER_CAP (lanes)."""
     env = os.environ.get("KHMER_TPU_DEFER_CAP")
     if env:
@@ -158,167 +165,231 @@ def default_max_cap():
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def append_lanes(keys_buf, wgt_buf, fill, keys, weights):
-    """Append one chunk's (key, weight) lanes at position `fill`
-    (non-unit path).  Lanes with weight 0 are stored as SENTINEL keys
-    (they sort to the end and are dropped at merge time)."""
+def append_keys(keys_buf, idx_buf, fill, keys, idx, weights):
+    """Append one chunk's unit-weight lanes at position `fill`:
+    invalid lanes (weight 0) are SENTINEL keys."""
     k = jnp.where(weights > 0, keys, SENTINEL)
     keys_buf = lax.dynamic_update_slice(keys_buf, k, (fill,))
-    wgt_buf = lax.dynamic_update_slice(
-        wgt_buf, weights.astype(U32), (fill,))
-    return keys_buf, wgt_buf
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def append_keys(keys_buf, fill, keys, weights):
-    """Append one chunk's unit-weight lanes at position `fill`: only
-    keys move; invalid lanes (weight 0) are SENTINEL keys."""
-    k = jnp.where(weights > 0, keys, SENTINEL)
-    return lax.dynamic_update_slice(keys_buf, k, (fill,))
-
-
-@partial(jax.jit, donate_argnums=(1,))
-def _copy_keys_into(old_keys, new_keys):
-    return lax.dynamic_update_slice(new_keys, old_keys, (0,))
+    idx_buf = lax.dynamic_update_slice(
+        idx_buf, idx.astype(U32), (fill,))
+    return keys_buf, idx_buf
 
 
 @partial(jax.jit, donate_argnums=(1, 2))
-def _copy_pair_into(old_keys, new_keys, new_wgts, old_wgts):
+def _copy_pair_into(old_keys, new_keys, new_idx, old_idx):
     new_keys = lax.dynamic_update_slice(new_keys, old_keys, (0,))
-    new_wgts = lax.dynamic_update_slice(new_wgts, old_wgts, (0,))
-    return new_keys, new_wgts
+    new_idx = lax.dynamic_update_slice(new_idx, old_idx, (0,))
+    return new_keys, new_idx
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _ledger_append(ledger_k, ledger_w, block_k, block_w, off):
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _ledger_append(ledger_k, ledger_w, ledger_f, block_k, block_w,
+                   block_f, off):
     """Append one compacted distinct block into the ledger bag."""
     ledger_k = lax.dynamic_update_slice(ledger_k, block_k, (off,))
     ledger_w = lax.dynamic_update_slice(ledger_w, block_w, (off,))
-    return ledger_k, ledger_w
+    ledger_f = lax.dynamic_update_slice(ledger_f, block_f, (off,))
+    return ledger_k, ledger_w, ledger_f
+
+
+@partial(jax.jit, donate_argnums=(1, 2, 3))
+def _copy_triple_into(old_k, new_k, new_w, new_f, old_w, old_f):
+    new_k = lax.dynamic_update_slice(new_k, old_k, (0,))
+    new_w = lax.dynamic_update_slice(new_w, old_w, (0,))
+    new_f = lax.dynamic_update_slice(new_f, old_f, (0,))
+    return new_k, new_w, new_f
 
 
 # -- combines ----------------------------------------------------------------
 
 
-def combine_lanes(keys, wgts):
-    """Pure function: combine duplicate hashes in a (key, weight) lane
-    buffer (sort + scans + compact sort).
-
-    Returns (keys, totals, n_valid): distinct keys sorted ascending and
-    compacted to the front, SENTINEL padding after; totals clamped at
-    TOTAL_CLAMP.  Usable standalone (jitted below as merge_buffer) or
-    inside a shard_map-local function (khmer_tpu/parallel/sharded.py).
-    """
-    ks, ws = lax.sort((keys, wgts), num_keys=1)
-    last = jnp.concatenate([ks[1:] != ks[:-1],
-                            jnp.ones((1,), bool)])
-    csum = jnp.cumsum(ws, dtype=U32)
-    # csum value at the end of the previous run, propagated forward:
-    # at each run's last lane e = csum; shift right one and cummax
-    e = jnp.where(last, csum, U32(0))
-    prev_end = lax.cummax(
-        jnp.concatenate([jnp.zeros((1,), U32), e[:-1]]))
-    total = csum - prev_end  # exact modulo 2^32; true total < 2^32
-    total = jnp.minimum(total, TOTAL_CLAMP)
-    valid = last & (ks != SENTINEL)
-    key2 = jnp.where(valid, ks, SENTINEL)
-    total = jnp.where(valid, total, U32(0))
-    out_k, out_w = lax.sort((key2, total), num_keys=1)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
-    return out_k, out_w, n_valid
-
-
-def combine_unit_lanes(keys):
-    """combine_lanes for the unit-weight streaming path: every valid
-    lane counts once, so the first pass is a KEYS-ONLY sort (~1.5x the
-    pair sort's throughput) and occurrence totals are run lengths."""
-    ks = lax.sort(keys)
+def _run_masks(ks):
     neq = ks[1:] != ks[:-1]
     first = jnp.concatenate([jnp.ones((1,), bool), neq])
     last = jnp.concatenate([neq, jnp.ones((1,), bool)])
-    idx = lax.iota(I32, ks.shape[0])
-    start = lax.cummax(jnp.where(first, idx, I32(0)))
-    runlen = (idx - start + 1).astype(U32)
-    valid = last & (ks != SENTINEL)
-    total = jnp.where(valid, jnp.minimum(runlen, TOTAL_CLAMP), U32(0))
+    return first, last
+
+
+def _pack_wf(total, fs):
+    """(total <= 2^20, first u32) -> one u64 sort payload.  Sorting a
+    single u64 payload runs ~25% faster than two u32 payloads on TPU
+    (lane width is what the bitonic network moves)."""
+    return (total.astype(U64) << U64(32)) | fs.astype(U64)
+
+
+def _unpack_wf(p):
+    return (p >> U64(32)).astype(U32), p.astype(U32)
+
+
+def combine_unit_lanes(keys, idx):
+    """Combine duplicate hashes in a unit-weight (key, position) lane
+    buffer: one (key, position) sort + scans + one compaction sort.
+
+    Returns (keys, totals, firsts, n_valid): distinct keys compacted
+    to the front (SENTINEL padding after), each with its occurrence
+    total (clamped at TOTAL_CLAMP) and its minimum stream position —
+    the first-occurrence index the flush's claim rule needs.  Usable
+    standalone (jitted below as merge_unit_buffer) or inside a
+    shard_map-local function (khmer_tpu/parallel/sharded.py)."""
+    n = keys.shape[0]
+    ks, fs = lax.sort((keys, idx), num_keys=2)
+    first, last = _run_masks(ks)
+    pos = lax.iota(I32, n)
+    # run end position propagated backward to the run head
+    end = lax.cummin(jnp.where(last, pos, I32(n)), reverse=True)
+    runlen = (end - pos + 1).astype(U32)
+    valid = first & (ks != SENTINEL)
     key2 = jnp.where(valid, ks, SENTINEL)
-    out_k, out_w = lax.sort((key2, total), num_keys=1)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
-    return out_k, out_w, n_valid
+    total = jnp.where(valid, jnp.minimum(runlen, TOTAL_CLAMP), U32(0))
+    fs = jnp.where(valid, fs, IDX_SENTINEL)
+    out_k, out_p = lax.sort((key2, _pack_wf(total, fs)), num_keys=1)
+    out_w, out_f = _unpack_wf(out_p)
+    n_valid = jnp.sum(valid.astype(I32))
+    return out_k, out_w, out_f, n_valid
 
 
-merge_buffer = jax.jit(combine_lanes, donate_argnums=(0, 1))
+def combine_lanes(keys, wgts, idx):
+    """combine_unit_lanes for weighted lanes (ledger merges, sharded
+    owner combines): totals add (clamped), first positions min.  The
+    (position, weight) pair rides one u64 payload with the position in
+    the high bits, so the second sort key's run head IS the minimum
+    first position."""
+    n = keys.shape[0]
+    pf = (idx.astype(U64) << U64(21)) | \
+        jnp.minimum(wgts, TOTAL_CLAMP).astype(U64)
+    ks, pp = lax.sort((keys, pf), num_keys=2)
+    fs = (pp >> U64(21)).astype(U32)
+    ws = (pp & U64((1 << 21) - 1)).astype(U32)
+    first, last = _run_masks(ks)
+    csum = jnp.cumsum(ws, dtype=U32)
+    # csum at the run's LAST lane, propagated backward to the head
+    # (csum is monotone, so a reverse cummin of the MAX-masked values
+    # lands the NEAREST next run-end csum on every lane of the run)
+    e = jnp.where(last, csum, IDX_SENTINEL)
+    run_end = lax.cummin(e, reverse=True)
+    total = run_end - (csum - ws)  # exact modulo 2^32
+    total = jnp.minimum(total, TOTAL_CLAMP)
+    valid = first & (ks != SENTINEL)
+    key2 = jnp.where(valid, ks, SENTINEL)
+    total = jnp.where(valid, total, U32(0))
+    fs = jnp.where(valid, fs, IDX_SENTINEL)
+    out_k, out_p = lax.sort((key2, _pack_wf(total, fs)), num_keys=1)
+    out_w, out_f = _unpack_wf(out_p)
+    n_valid = jnp.sum(valid.astype(I32))
+    return out_k, out_w, out_f, n_valid
+
+
+merge_buffer = jax.jit(combine_lanes, donate_argnums=(0, 1, 2))
 merge_buffer.__doc__ = combine_lanes.__doc__
-merge_unit_buffer = jax.jit(combine_unit_lanes, donate_argnums=(0,))
+merge_unit_buffer = jax.jit(combine_unit_lanes, donate_argnums=(0, 1))
 merge_unit_buffer.__doc__ = combine_unit_lanes.__doc__
 
 
-# -- flush kernels -------------------------------------------------------------
+@jax.jit
+def _sort_by_first(keys, totals, firsts):
+    """Order distinct lanes by first-occurrence index: the flush-window
+    split preserves reference sequentiality (module docstring)."""
+    f2, k2, w2 = lax.sort((firsts, keys, totals), num_keys=1)
+    return k2, w2, f2
 
 
-@lru_cache(maxsize=None)
-def make_premin_fn(spec):
-    """Jitted PRE-SCATTER accounting over one window of distinct
-    (key, total) lanes: gathers the min-over-tables count from the
-    (pre-flush) table for n_unique (the reference's is-new test,
-    storage.hh:575-628, applied consume-wide) and, for bigcount byte
-    sketches, compacts the 255-crossing candidate hashes.
+# -- flush -------------------------------------------------------------------
 
-    fn(table, keys, totals) -> (n_new u64[, cand u64[F], n_cross u32])
-    The table is NOT donated — every window of a flush premins against
-    the same pre-consume state."""
-    track_bigcount = spec.use_bigcount and spec.kind == "byte"
 
-    @jax.jit
-    def fn(table, keys, totals):
-        w = jnp.where(keys != SENTINEL, totals, U32(0))
-        idx = _bin_idx(spec, keys)
-        dummy = jnp.int64(spec.total_bins)
-        idx = jnp.where(w[None, :] > 0, idx, dummy)
-        pre = table[idx]  # [T, F] — one lane per DISTINCT hash
-        premin = jnp.min(pre, axis=0)
-        n_new = jnp.sum(((premin == 0) & (w > 0)).astype(U64))
-        if track_bigcount:
-            cross = (pre[0] + w > 255) & (w > 0)
-            cand = lax.sort(jnp.where(cross, keys, SENTINEL))
+def flush_table_ops(spec, table, keys, totals, firsts, virgin,
+                    track_bigcount):
+    """Pure function: flush one window of distinct (key, total, first)
+    lanes into the sketch and account n_unique by the reference's
+    claim rule (module docstring; reference storage.hh:176-203,
+    575-628).  Shared by the jitted serial flush (make_flush_fn) and
+    the shard_map-local sharded flush (khmer_tpu/parallel/sharded.py).
+
+    Returns (table, n_new) or (table, n_new, cand, n_cross) when
+    track_bigcount."""
+    n = keys.shape[0]
+    valid = (keys != SENTINEL) & (totals > 0)
+    lane = lax.iota(U32, n)
+    firsts = jnp.where(valid, firsts, IDX_SENTINEL)
+    big_idx = spec.total_bins > (1 << 31) - 2
+    idt = I64 if big_idx else I32
+    losers = []
+    cand = None
+    n_cross = None
+    for t in range(spec.n_tables):
+        p = int(spec.tablesizes[t])
+        off = int(spec.bin_offsets[t])
+        bins = (keys % U64(p)).astype(U32)
+        bins = jnp.where(valid, bins, U32(p))
+        # pack (bin, first) into the sort key and (total, lane) into
+        # one u64 payload: a 2-array u64 sort runs ~1.5x a 4-array one
+        kb = (bins.astype(U64) << U64(32)) | firsts.astype(U64)
+        pv = (totals.astype(U64) << U64(32)) | lane.astype(U64)
+        need_pre = (not virgin) or (track_bigcount and t == 0)
+        if need_pre:
+            gidx = jnp.where(valid, bins.astype(idt) + idt(off),
+                             idt(spec.total_bins))
+            pre = table[gidx]
+            kb2, pv2, sp = lax.sort((kb, pv, pre), num_keys=1)
+        else:
+            kb2, pv2 = lax.sort((kb, pv), num_keys=1)
+            sp = None
+        sb = (kb2 >> U64(32)).astype(U32)
+        sv = (pv2 >> U64(32)).astype(U32)
+        sl = pv2.astype(U32)
+        first_run, last_run = _run_masks(sb)
+        valid_s = sb != U32(p)
+        # claim: the run head (minimum first-occurrence) of each bin
+        if virgin:
+            win = first_run
+        else:
+            win = first_run & (sp == 0)
+        loser = valid_s & ~win
+        losers.append(jnp.where(loser, sl, IDX_SENTINEL))
+        if track_bigcount and t == 0:
+            # candidate superset: keys whose table-0 bin may cross 255
+            # (exact resolution happens at read time on the compacted
+            # candidate set — storage.ByteStorage bigcount notes)
+            base0 = sv if virgin else sp + sv
+            cross = valid_s & (base0 > U32(255))
+            ck = keys[sl]  # gather keys into sorted order, t=0 only
+            cand = lax.sort(jnp.where(cross, ck, SENTINEL))
             n_cross = jnp.sum(cross.astype(U32))
-            return n_new, cand, n_cross
-        return n_new
-    return fn
+        # bin totals: run sum of sv, emitted at the run head; the
+        # ascending-bin emission keeps the scatter's indices sorted
+        csum = jnp.cumsum(sv, dtype=U32)
+        e = jnp.where(last_run, csum, IDX_SENTINEL)
+        run_end = lax.cummin(e, reverse=True)
+        bt = jnp.minimum(run_end - (csum - sv), TOTAL_CLAMP)
+        emit = first_run & valid_s
+        filled = lax.cummin(jnp.where(emit, sb, U32(p)), reverse=True)
+        gidx = jnp.minimum(filled.astype(idt) + idt(off),
+                           idt(spec.total_bins))
+        vals = jnp.where(emit, bt, U32(0))
+        table = table.at[gidx].add(vals, indices_are_sorted=True)
+    # a key is suppressed iff it lost in EVERY table: count lane ids
+    # appearing n_tables times in the concatenated loser lists
+    alll = lax.sort(jnp.concatenate(losers))
+    firstl, lastl = _run_masks(alll)
+    posl = lax.iota(I32, alll.shape[0])
+    endl = lax.cummin(jnp.where(lastl, posl, I32(alll.shape[0])),
+                      reverse=True)
+    runl = endl - posl + 1
+    n_lost = jnp.sum((firstl & (alll != IDX_SENTINEL) &
+                      (runl == spec.n_tables)).astype(U64))
+    n_new = jnp.sum(valid.astype(U64)) - n_lost
+    if track_bigcount:
+        return table, n_new, cand, n_cross
+    return table, n_new
 
 
 @lru_cache(maxsize=None)
-def make_virgin_account_fn(track_bigcount):
-    """Accounting for a flush into a VIRGIN (all-zero) table: premin
-    is identically zero, so n_new = the number of valid lanes and the
-    bigcount candidates are simply totals > 255 — no gather at all."""
-
-    @jax.jit
-    def fn(keys, totals):
-        w = jnp.where(keys != SENTINEL, totals, U32(0))
-        n_new = jnp.sum((w > 0).astype(U64))
-        if track_bigcount:
-            cross = w > 255
-            cand = lax.sort(jnp.where(cross, keys, SENTINEL))
-            n_cross = jnp.sum(cross.astype(U32))
-            return n_new, cand, n_cross
-        return n_new
-    return fn
-
-
-@lru_cache(maxsize=None)
-def make_scatter_fn(spec):
-    """Jitted scatter-add of one window of distinct (key, total) lanes
-    into the sketch table: T random lanes per DISTINCT hash — the only
-    random table access of the whole consume."""
+def make_flush_fn(spec, virgin, track_bigcount):
+    """Jitted one-window sketch flush (flush_table_ops)."""
 
     @partial(jax.jit, donate_argnums=(0,))
-    def fn(table, keys, totals):
-        w = jnp.where(keys != SENTINEL, totals, U32(0))
-        idx = _bin_idx(spec, keys)
-        dummy = jnp.int64(spec.total_bins)
-        idx = jnp.where(w[None, :] > 0, idx, dummy)
-        return table.at[idx.reshape(-1)].add(jnp.tile(w, spec.n_tables))
+    def fn(table, keys, totals, firsts):
+        return flush_table_ops(spec, table, keys, totals, firsts,
+                               virgin, track_bigcount)
     return fn
 
 
@@ -348,10 +419,10 @@ class DeferredCounter:
 
     Retain/ledger design (module docstring): appends are async
     dispatches at a host-tracked offset; each full buffer is combined
-    by sort (one keys-only sort + one compaction sort on the
-    unit-weight path) and the distinct survivors are RETAINED in a
-    device ledger; finish() combines the ledger and scatters the
-    sketch table exactly once, per globally-distinct hash.
+    by sort and the distinct survivors are RETAINED in a device
+    ledger; finish() combines the ledger and scatters the sketch table
+    once per globally-distinct hash, computing the reference-exact
+    n_unique claim rule along the way.
 
     Buffers are sized LAZILY from the first appended chunk: tiny
     consumes (the whole test suite, small files) must not pay
@@ -374,8 +445,8 @@ class DeferredCounter:
         max_cap = max(int(max_cap), 2 * chunk_lanes)
         self.max_cap = _next_pow2(max_cap)
         # the ledger holds DISTINCT lanes only — give it more headroom
-        # than the append buffer before the overflow fallback degrades
-        # the n_unique estimator to sequential-batch semantics
+        # than the append buffer before the overflow fallback triggers
+        # a mid-consume flush (still exact; module docstring)
         self.max_ledger = 4 * self.max_cap
         self.chunk_lanes = chunk_lanes
         self.storage = storage
@@ -385,54 +456,53 @@ class DeferredCounter:
             else min(_next_pow2(int(cap)), self.max_cap)
         self.cap = 0
         self.keys = None
-        self.wgts = None       # only allocated on the non-unit path
+        self.idx = None
         self.fill = 0
+        # base stream position of the next appended chunk (host int;
+        # the device-side lane positions are base + in-chunk offset)
+        self.pos_base = 0
         self._track_bigcount = (self.spec.use_bigcount
                                 and self.spec.kind == "byte")
-        self._premin_fn = make_premin_fn(self.spec)
-        self._virgin_fn = make_virgin_account_fn(self._track_bigcount)
-        self._scatter_fn = make_scatter_fn(self.spec)
-        # ledger: bag of per-cycle compacted distinct (key,total) runs
+        # ledger: bag of per-cycle compacted distinct (k, w, f) runs
         self.ledger_k = None
         self.ledger_w = None
+        self.ledger_f = None
         self.ledger_cap = 0
         self.ledger_fill = 0
-        self._pending_cycle = None  # (ck, cw, distinct-count future)
+        self._pending_cycle = None  # (ck, cw, cf, distinct-count future)
         self._bc_pending = []       # deferred bigcount candidate fetches
 
     # -- streaming ----------------------------------------------------------
 
-    def append(self, keys, weights):
-        """Append one chunk of hashed lanes."""
+    def append(self, keys, weights, idx=None):
+        """Append one chunk of hashed lanes.  `idx` carries each
+        lane's position in the consume's k-mer stream; when None, the
+        caller's lane order is taken as stream order."""
         lanes = int(keys.shape[0])
+        if idx is None:
+            idx = jnp.arange(self.pos_base, self.pos_base + lanes,
+                             dtype=U32)
         self._make_room(lanes)
-        if self.unit:
-            self.keys = append_keys(
-                self.keys, jnp.int32(self.fill), keys, weights)
-        else:
-            self.keys, self.wgts = append_lanes(
-                self.keys, self.wgts, jnp.int32(self.fill), keys,
-                weights)
+        self.keys, self.idx = append_keys(
+            self.keys, self.idx, jnp.int32(self.fill), keys, idx,
+            weights)
         self.fill += lanes
+        self.pos_base += lanes
 
-    def append_chunk(self, fn, consumed, inputs, extra=(), lanes=None):
+    def append_chunk(self, fn, consumed, inputs, extra=(), lanes=None,
+                     stream_len=None):
         """Append via a fused hash+filter+append kernel `fn` with
-        signature (kbuf, fill, consumed, *inputs, *extra)
-        -> (kbuf, consumed) on the unit path (the default; weights are
-        implied 1 and invalid lanes are SENTINEL keys), or
-        (kbuf, wbuf, fill, ...) -> (kbuf, wbuf, consumed) otherwise;
-        one device dispatch per chunk."""
+        signature (kbuf, ibuf, fill, pos_base, consumed, *inputs,
+        *extra) -> (kbuf, ibuf, consumed); one device dispatch per
+        chunk.  `stream_len` is the chunk's length in the k-mer
+        stream (defaults to the lane count)."""
         lanes = self.chunk_lanes if lanes is None else int(lanes)
         self._make_room(lanes)
-        if self.unit:
-            self.keys, consumed = fn(
-                self.keys, jnp.int32(self.fill), consumed,
-                *inputs, *extra)
-        else:
-            self.keys, self.wgts, consumed = fn(
-                self.keys, self.wgts, jnp.int32(self.fill), consumed,
-                *inputs, *extra)
+        self.keys, self.idx, consumed = fn(
+            self.keys, self.idx, jnp.int32(self.fill),
+            jnp.uint32(self.pos_base), consumed, *inputs, *extra)
         self.fill += lanes
+        self.pos_base += lanes if stream_len is None else int(stream_len)
         return consumed
 
     def _make_room(self, lanes):
@@ -452,20 +522,16 @@ class DeferredCounter:
     def _alloc(self, cap):
         self.cap = int(cap)
         self.keys = jnp.full((self.cap,), SENTINEL, dtype=U64)
-        if not self.unit:
-            self.wgts = jnp.zeros((self.cap,), dtype=U32)
+        self.idx = jnp.full((self.cap,), IDX_SENTINEL, dtype=U32)
 
     def _grow(self, need=0):
         new_cap = min(max(self.cap * 2, _next_pow2(need)), self.max_cap)
         if new_cap <= self.cap:
             return
         nk = jnp.full((new_cap,), SENTINEL, dtype=U64)
-        if self.unit:
-            self.keys = _copy_keys_into(self.keys, nk)
-        else:
-            nw = jnp.zeros((new_cap,), dtype=U32)
-            self.keys, self.wgts = _copy_pair_into(
-                self.keys, nk, nw, self.wgts)
+        ni = jnp.full((new_cap,), IDX_SENTINEL, dtype=U32)
+        self.keys, self.idx = _copy_pair_into(
+            self.keys, nk, ni, self.idx)
         self.cap = new_cap
 
     # -- cycle: combine the append buffer, retain in the ledger --------------
@@ -482,17 +548,14 @@ class DeferredCounter:
         bucket = _merge_bucket(self.fill, self.cap)
         with stage("combine", lanes=self.fill):
             if bucket >= self.cap:
-                seg_k, seg_w = self.keys, self.wgts
+                seg_k, seg_i = self.keys, self.idx
             else:
                 seg_k = self.keys[:bucket]
-                seg_w = None if self.unit else self.wgts[:bucket]
-            if self.unit:
-                ck, cw, n_valid = merge_unit_buffer(seg_k)
-            else:
-                ck, cw, n_valid = merge_buffer(seg_k, seg_w)
+                seg_i = self.idx[:bucket]
+            ck, cw, cf, n_valid = merge_unit_buffer(seg_k, seg_i)
         self.keys = None  # donated away; reallocated below
-        self.wgts = None
-        self._pending_cycle = (ck, cw, _fetch_async(n_valid))
+        self.idx = None
+        self._pending_cycle = (ck, cw, cf, _fetch_async(n_valid))
         self._alloc(self.cap)
         self.fill = 0
 
@@ -502,7 +565,7 @@ class DeferredCounter:
         SENTINEL and vanish at the final combine)."""
         if self._pending_cycle is None:
             return
-        ck, cw, fut = self._pending_cycle
+        ck, cw, cf, fut = self._pending_cycle
         self._pending_cycle = None
         n = fut.result()
         if n == 0:
@@ -512,8 +575,9 @@ class DeferredCounter:
             self._ledger_overflow()
         self._ledger_room(self.ledger_fill + block)
         with stage("ledger", lanes=block):
-            self.ledger_k, self.ledger_w = _ledger_append(
-                self.ledger_k, self.ledger_w, ck[:block], cw[:block],
+            self.ledger_k, self.ledger_w, self.ledger_f = _ledger_append(
+                self.ledger_k, self.ledger_w, self.ledger_f,
+                ck[:block], cw[:block], cf[:block],
                 jnp.int32(self.ledger_fill))
         self.ledger_fill += block
 
@@ -523,78 +587,79 @@ class DeferredCounter:
             self.ledger_cap = need
             self.ledger_k = jnp.full((need,), SENTINEL, dtype=U64)
             self.ledger_w = jnp.zeros((need,), dtype=U32)
+            self.ledger_f = jnp.full((need,), IDX_SENTINEL, dtype=U32)
             return
         if need <= self.ledger_cap:
             return
         nk = jnp.full((need,), SENTINEL, dtype=U64)
         nw = jnp.zeros((need,), dtype=U32)
-        self.ledger_k, self.ledger_w = _copy_pair_into(
-            self.ledger_k, nk, nw, self.ledger_w)
+        nf = jnp.full((need,), IDX_SENTINEL, dtype=U32)
+        self.ledger_k, self.ledger_w, self.ledger_f = _copy_triple_into(
+            self.ledger_k, nk, nw, nf, self.ledger_w, self.ledger_f)
         self.ledger_cap = need
 
     def _ledger_overflow(self):
         """The ledger outgrew its budget (more distinct hashes than
         KHMER_TPU_DEFER_CAP lanes): flush what it holds now and reset.
-        The n_unique estimator becomes sequential-batch from here on
-        (round-2 semantics), still deterministic for a serial run."""
-        mk, mw, n = self._combined_ledger()
+        Still exact — keys in this flush all first-occurred before any
+        key of a later flush, so later flushes see them as pre-count
+        > 0 (module docstring)."""
+        mk, mw, mf, n = self._combined_ledger()
         if n:
-            self._flush_distinct(mk, mw, n)
+            self._flush_distinct(mk, mw, mf, n)
         self.ledger_fill = 0
         self.ledger_k = None
         self.ledger_w = None
+        self.ledger_f = None
         self.ledger_cap = 0
 
     def _combined_ledger(self):
         """Combine cross-cycle duplicates in the ledger bag; returns
-        (keys, totals, n_distinct) compacted to the front."""
+        (keys, totals, firsts, n_distinct) compacted to the front."""
         if self.ledger_fill == 0:
-            return None, None, 0
+            return None, None, None, 0
         bucket = _merge_bucket(self.ledger_fill, self.ledger_cap)
         with stage("ledger-combine", lanes=self.ledger_fill):
             if bucket >= self.ledger_cap:
-                lk, lw = self.ledger_k, self.ledger_w
+                lk, lw, lf = self.ledger_k, self.ledger_w, self.ledger_f
             else:
                 lk = self.ledger_k[:bucket]
                 lw = self.ledger_w[:bucket]
-            mk, mw, nv = merge_buffer(lk, lw)
+                lf = self.ledger_f[:bucket]
+            mk, mw, mf, nv = merge_buffer(lk, lw, lf)
         self.ledger_k = None
         self.ledger_w = None
+        self.ledger_f = None
         self.ledger_cap = 0
         self.ledger_fill = 0
-        return mk, mw, int(np.asarray(nv))
+        return mk, mw, mf, int(np.asarray(nv))
 
     # -- flush ---------------------------------------------------------------
 
-    def _flush_distinct(self, mk, mw, n):
-        """Flush n distinct (key, total) lanes into the sketch: premin
-        phase (all windows, against the CURRENT pre-flush table — the
-        pre-consume table on the normal single-flush path), then the
-        scatter phase.  Subclasses override _flush_windows for
-        different flush-time accounting (abundance_distribution)."""
+    def _flush_distinct(self, mk, mw, mf, n):
+        """Flush n distinct (key, total, first) lanes into the sketch.
+        Oversized flushes split into first-occurrence-ordered windows
+        (exact; module docstring).  Subclasses override _flush_windows
+        for different flush-time accounting (abundance_distribution)."""
         F = min(max(_next_pow2(max(n, 1)), MIN_BUCKET), FLUSH_SLICE,
                 int(mk.shape[0]))
-        self._flush_windows(mk, mw, n, F)
+        if n > F:
+            mk, mw, mf = _sort_by_first(mk, mw, mf)
+        self._flush_windows(mk, mw, mf, n, F)
 
-    def _flush_windows(self, mk, mw, n, F):
+    def _flush_windows(self, mk, mw, mf, n, F):
         st = self.storage
-        virgin = getattr(st, "is_virgin", lambda: False)()
-        if not virgin:
-            with stage("premin", lanes=n * self.spec.n_tables):
-                for off in range(0, n, F):
-                    out = self._premin_fn(
-                        st.table, mk[off: off + F], mw[off: off + F])
-                    self._account(st, out)
-        else:
-            with stage("premin-virgin", lanes=n):
-                for off in range(0, n, F):
-                    out = self._virgin_fn(
-                        mk[off: off + F], mw[off: off + F])
-                    self._account(st, out)
-        with stage("scatter", lanes=n * self.spec.n_tables):
-            for off in range(0, n, F):
-                st.table = self._scatter_fn(
-                    st.table, mk[off: off + F], mw[off: off + F])
+        for off in range(0, n, F):
+            virgin = getattr(st, "is_virgin", lambda: False)() \
+                and off == 0
+            fn = make_flush_fn(self.spec, virgin, self._track_bigcount)
+            with stage("flush", lanes=min(F, n - off) * self.spec.n_tables):
+                out = fn(st.table, mk[off: off + F], mw[off: off + F],
+                         mf[off: off + F])
+            st.table = out[0]
+            self._account(st, out[1:])
+            if hasattr(st, "_virgin"):
+                st._virgin = False
         st._loaded_occupied = None
         if hasattr(st, "mark_dirty"):
             st.mark_dirty()
@@ -606,7 +671,7 @@ class DeferredCounter:
             # round trips per window otherwise
             self._bc_pending.append((cand, n_cross))
         else:
-            n_new = out
+            (n_new,) = out
         st._n_unique = st._n_unique + n_new
 
     def finish(self):
@@ -616,16 +681,16 @@ class DeferredCounter:
         if self.ledger_fill == 0 and self._pending_cycle is not None:
             # single-cycle consume (tiny files, or one full buffer):
             # the pending compacted lanes ARE the global distinct set
-            ck, cw, fut = self._pending_cycle
+            ck, cw, cf, fut = self._pending_cycle
             self._pending_cycle = None
             n = fut.result()
             if n:
-                self._flush_distinct(ck, cw, n)
+                self._flush_distinct(ck, cw, cf, n)
         else:
             self._resolve_cycle()
-            mk, mw, n = self._combined_ledger()
+            mk, mw, mf, n = self._combined_ledger()
             if n:
-                self._flush_distinct(mk, mw, n)
+                self._flush_distinct(mk, mw, mf, n)
         st = self.storage
         for cand, n_cross in self._bc_pending:
             nc = int(n_cross)

@@ -49,6 +49,7 @@ U8 = jnp.uint8
 U16 = jnp.uint16
 U32 = jnp.uint32
 U64 = jnp.uint64
+I32 = jnp.int32
 I64 = jnp.int64
 
 # read caps per storage kind (reference MAX_KCOUNT oxli.hh:81, nibble
@@ -125,17 +126,32 @@ def _bin_idx(spec, h):
 
 @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
 def sketch_update(spec: SketchSpec, table, n_occupied, n_unique, hashes,
-                  weights):
+                  weights, positions=None):
     """Batched sketch add for every storage kind.
 
-    hashes: uint64 [N]; weights: uint32 [N] (0 = padded/masked lane).
-    Returns (table, n_occupied, n_unique, aux); n_occupied passes
-    through (it is computed lazily from the table).  aux carries the
-    per-lane pre-batch min counts ("was new" signal) and, when
-    use_bigcount, the per-lane bigcount-crossing flags.
+    hashes: uint64 [N]; weights: uint32 [N] (0 = padded/masked lane);
+    positions: optional uint32 [N] giving each lane's position in the
+    caller's k-mer stream (defaults to lane order).  Returns (table,
+    n_occupied, n_unique, aux); n_occupied passes through (it is
+    computed lazily from the table).  aux carries the per-lane
+    pre-batch min counts, the per-lane reference-exact "is_new" flags
+    and, when use_bigcount, compacted bigcount-crossing candidates.
+
+    n_unique is EXACT reference parity (storage.hh:176-203,:575-628):
+    an occurrence is new iff some table's bin was zero immediately
+    before its sequential insert — i.e. its pre-batch count is zero
+    AND it is the bin's first claimant (minimum position) within this
+    batch.  Occurrences suppressed in every table are not new; later
+    duplicates of a hash lose every bin to their own first occurrence,
+    so no separate key-level dedup is needed.
     """
     h = hashes.reshape(-1)
     w = weights.reshape(-1).astype(U32)
+    n = h.shape[0]
+    if positions is None:
+        pos = lax.iota(U32, n)
+    else:
+        pos = positions.reshape(-1).astype(U32)
     idx = _bin_idx(spec, h)  # [T, N]
     dummy = jnp.int64(spec.total_bins)
     idx = jnp.where(w[None, :] > 0, idx, dummy)
@@ -146,32 +162,39 @@ def sketch_update(spec: SketchSpec, table, n_occupied, n_unique, hashes,
     table = table.at[idx.reshape(-1)].add(
         jnp.tile(w, spec.n_tables))
 
+    # reference claim rule, per table: sort occurrences by (bin,
+    # position); the run head claims the bin; scatter the claim flags
+    # back to lane order by the carried lane id.
+    pos_key = jnp.where(w > 0, pos, ~U32(0))
+    lane = lax.iota(I32, n)
+    is_new = jnp.zeros(n, bool)
+    for t in range(spec.n_tables):
+        bins = jnp.where(w > 0, idx[t].astype(jnp.int64),
+                         dummy).astype(jnp.int64)
+        sb, sp, sl = lax.sort((bins, pos_key, lane), num_keys=2)
+        claim_s = jnp.concatenate(
+            [jnp.ones((1,), bool), sb[1:] != sb[:-1]])
+        claim = jnp.zeros(n, bool).at[sl].set(claim_s,
+                                              unique_indices=True)
+        is_new = is_new | ((pre[t] == 0) & claim)
+    is_new = is_new & (w > 0)
+    n_unique = n_unique + jnp.sum(is_new.astype(U64))
+
     track_bigcount = spec.use_bigcount and spec.kind == "byte"
-    # n_unique: distinct batch hashes whose pre-batch min was zero.
-    key = jnp.where(w > 0, h, ~jnp.uint64(0))
+    aux = {"premin": premin, "is_new": is_new}
     if track_bigcount:
         # lanes whose table-0 bin crossed 255: a sound superset of
-        # hashes that may now exceed 255
+        # hashes that may now exceed 255.  One candidate lane per
+        # distinct crossing hash, compacted by one ascending sort so
+        # only a small list crosses to the host (jnp.nonzero(size=...)
+        # lowers to a cumsum+scatter that costs ~10x a sort on TPU).
         cross = (table[idx[0]] > 255) & (w > 0)
-        ks, ps, ws, cs = lax.sort((key, premin, w, cross.astype(U32)),
-                                  num_keys=1)
-    else:
-        ks, ps, ws = lax.sort((key, premin, w), num_keys=1)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & (ws > 0)
-    n_unique = n_unique + jnp.sum(
-        (first & (ps == 0)).astype(U64))
-
-    aux = {"premin": premin}
-    if track_bigcount:
-        # one candidate lane per distinct crossing hash, compacted so
-        # only a small list crosses to the host.  Compaction is one
-        # ascending sort of a keyed copy (crossing hashes sort to the
-        # front) — jnp.nonzero(size=...) lowers to a cumsum+scatter
-        # that costs ~10x a sort on TPU.
-        n = h.shape[0]
+        key = jnp.where(w > 0, h, ~jnp.uint64(0))
+        ks, cs = lax.sort((key, cross.astype(U32)), num_keys=1)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
         lanes = min(BIGCOUNT_LANES, n)
-        fc = first & (cs > 0)
+        fc = first & (cs > 0) & (ks != ~jnp.uint64(0))
         cand_key = jnp.where(fc, ks, ~jnp.uint64(0))
         cand_sorted = lax.sort(cand_key)
         n_cross = jnp.sum(fc.astype(U32))

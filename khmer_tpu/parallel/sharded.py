@@ -25,10 +25,17 @@ Design (TPU-first, no reference analogue — the reference is single-host):
     for each bin, serial = min(cap, total increments), and
     min(cap, sum_d min(cap, x_d)) == min(cap, sum_d x_d) because any
     saturated partial already forces the sum past cap.
-  * n_unique is BIT-EQUAL to the single-device deferred path: both
-    count the distinct consumed hashes whose min-over-tables count in
-    the PRE-CONSUME table (`base`) was zero.  Each hash lives on
-    exactly one owner, so the per-shard news partition the global set.
+  * n_unique is BIT-EQUAL to the single-device deferred path and
+    EXACT reference parity (ops/deferred.py docstring): every lane
+    carries its position in the consume's global k-mer stream (chunks
+    are numbered in file order across the mesh); a hash is new iff for
+    some table the pre-consume bin (`base`) is zero AND the hash is
+    the bin's first claimant.  Claims cross shard boundaries — a
+    serial bin collects keys from many band owners — so each flush
+    builds per-table dense claim arrays (scatter-min of first
+    positions) and all-reduce-mins them over the mesh.  Each hash
+    lives on exactly one owner, so the per-shard news partition the
+    global set.
   * a count query psums per-table bin values across the mesh *before*
     the min-over-tables reduction, which reproduces the serial
     Count-Min read (min over tables of total bin count) exactly.
@@ -133,19 +140,20 @@ def merge_tables_saturating(tables, spec: SketchSpec):
 # ---------------------------------------------------------------------------
 
 
-def _route_with_leftover(hashes, weights, n_shards, cap):
-    """Pack (hash, weight) lanes into fixed [S, cap] per-destination
-    buffers; lanes that do not fit stay local.
+def _route_with_leftover(hashes, weights, firsts, n_shards, cap):
+    """Pack (hash, weight, first-position) lanes into fixed [S, cap]
+    per-destination buffers; lanes that do not fit stay local.
 
-    Returns (send_h, send_w, left_h, left_w, n_left); leftover lanes
-    are SENTINEL-masked in place (order irrelevant — the next drain
-    round re-sorts)."""
-    from khmer_tpu.ops.deferred import SENTINEL
+    Returns (send_h, send_w, send_f, left_h, left_w, left_f, n_left);
+    leftover lanes are SENTINEL-masked in place (order irrelevant —
+    the next drain round re-sorts)."""
+    from khmer_tpu.ops.deferred import IDX_SENTINEL, SENTINEL
 
     n = hashes.shape[0]
     owner = jnp.where(weights > 0, band_owner(hashes, n_shards),
                       n_shards).astype(jnp.uint32)
-    o_s, h_s, w_s = lax.sort((owner, hashes, weights), num_keys=1)
+    o_s, h_s, w_s, f_s = lax.sort((owner, hashes, weights, firsts),
+                                  num_keys=1)
     counts = jnp.bincount(o_s.astype(I32), length=n_shards + 1)
     starts = jnp.cumsum(counts) - counts
     pos = jnp.arange(n, dtype=I32) - starts[o_s.astype(I32)].astype(I32)
@@ -155,12 +163,17 @@ def _route_with_leftover(hashes, weights, n_shards, cap):
     send_h = jnp.full(n_shards * cap + 1, SENTINEL, U64).at[slot].set(h_s)
     send_w = jnp.zeros(n_shards * cap + 1, U32).at[slot].set(
         jnp.where(ok, w_s, 0))
+    send_f = jnp.full(n_shards * cap + 1, IDX_SENTINEL, U32).at[slot].set(
+        jnp.where(ok, f_s, IDX_SENTINEL))
     left = real & ~ok
     left_h = jnp.where(left, h_s, SENTINEL)
     left_w = jnp.where(left, w_s, 0)
+    left_f = jnp.where(left, f_s, IDX_SENTINEL)
     n_left = jnp.sum(left.astype(I32))
     return (send_h[:-1].reshape(n_shards, cap),
-            send_w[:-1].reshape(n_shards, cap), left_h, left_w, n_left)
+            send_w[:-1].reshape(n_shards, cap),
+            send_f[:-1].reshape(n_shards, cap), left_h, left_w, left_f,
+            n_left)
 
 
 _AXES = ("data", "shard")  # banding flattens both mesh axes: D*S bands
@@ -178,37 +191,49 @@ def make_sharded_append_step(k: int, hash_kind: str, mesh: Mesh,
     hashtable._pack_chunk — 13x less wire than raw bytes + u32 mask)
     and appends the unit-weight lanes to its local key buffer.
 
-    step(keys, fill, consumed, packed) -> (keys, consumed)
+    step(keys, idx, fill, batch, consumed, packed)
+      -> (keys, idx, consumed)
 
-    keys [D,S,cap] P(d,s,None); packed [D,S,3*chunk/8] P(d,s,None);
-    fill scalar (replicated); consumed [D,S] P(d,s)."""
+    keys/idx [D,S,cap] P(d,s,None); packed [D,S,3*chunk/8] P(d,s,None);
+    fill/batch scalars (replicated); consumed [D,S] P(d,s).  Each lane
+    records its GLOBAL stream position: chunk (batch*D*S + flat mesh
+    rank) times the static lane span, plus the in-chunk window start —
+    file order across the whole mesh, as the exact n_unique claim rule
+    requires (ops/deferred.py docstring)."""
     from khmer_tpu.hashtable import (ROW_PAYLOAD, _chunk_hashes_weights,
                                      _decode_codes, _unpack_chunk)
     from khmer_tpu.ops.deferred import SENTINEL
 
     payload = min(ROW_PAYLOAD, chunk)
+    NS = mesh.shape["data"] * mesh.shape["shard"]
+    S = mesh.shape["shard"]
 
-    def local(keys, fill, consumed, packed):
+    def local(keys, idx, fill, batch, consumed, packed):
         d, m = _unpack_chunk(packed[0, 0])
         # the wire format is always 2-bit codes (the packer translates
         # ASCII); byte-stream hashes need the ASCII restored
         if hash_kind != "2bit":
             d = _decode_codes(d)
-        hashes, w = _chunk_hashes_weights(
+        hashes, w, pos = _chunk_hashes_weights(
             d, m.astype(U32), k, hash_kind, payload)
+        rank = (lax.axis_index("data") * S +
+                lax.axis_index("shard")).astype(U32)
+        span = U32(pos.shape[0])
+        base = (batch.astype(U32) * U32(NS) + rank) * span
         c = consumed[0, 0] + jnp.sum(w.astype(U64))
         key = jnp.where(w > 0, hashes, SENTINEL)
         kb = lax.dynamic_update_slice(keys[0, 0], key, (fill,))
-        return kb[None, None], c[None, None]
+        ib = lax.dynamic_update_slice(idx[0, 0], base + pos, (fill,))
+        return kb[None, None], ib[None, None], c[None, None]
 
     lane_s = P("data", "shard", None)
     scal_s = P("data", "shard")
     return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
-            in_specs=(lane_s, P(), scal_s, lane_s),
-            out_specs=(lane_s, scal_s)),
-        donate_argnums=(0,),
+            in_specs=(lane_s, lane_s, P(), P(), scal_s, lane_s),
+            out_specs=(lane_s, lane_s, scal_s)),
+        donate_argnums=(0, 1),
     )
 
 
@@ -220,32 +245,39 @@ def make_sharded_merge_step(mesh: Mesh, unit: bool, bucket: int):
     sort); otherwise lanes below `s_end` carry retained totals in
     `wgts` and lanes at or above it are fresh unit appends.
 
-    step(keys[D,S,cap], wgts[D,S,cap], s_end)
-      -> (keys, wgts, n_valid[D,S])."""
+    The idx buffer carries stream positions for fresh lanes and
+    first-occurrence positions for retained lanes (the combine mins
+    them, which is exactly the first-occurrence merge).
+
+    step(keys[D,S,cap], wgts[D,S,cap], idx[D,S,cap], s_end)
+      -> (keys, wgts, idx, n_valid[D,S])."""
     from khmer_tpu.ops.deferred import combine_lanes, combine_unit_lanes
 
-    def local(keys, wgts, s_end):
+    def local(keys, wgts, idxs, s_end):
         k = keys[0, 0]
         w = wgts[0, 0]
+        f = idxs[0, 0]
         kseg = lax.dynamic_slice(k, (0,), (bucket,))
+        fseg = lax.dynamic_slice(f, (0,), (bucket,))
         if unit:
-            k2, w2, nv = combine_unit_lanes(kseg)
+            k2, w2, f2, nv = combine_unit_lanes(kseg, fseg)
         else:
             wseg = lax.dynamic_slice(w, (0,), (bucket,))
-            idx = lax.iota(I32, bucket)
-            w_eff = jnp.where(idx < s_end, wseg, U32(1))
-            k2, w2, nv = combine_lanes(kseg, w_eff)
+            pos = lax.iota(I32, bucket)
+            w_eff = jnp.where(pos < s_end, wseg, U32(1))
+            k2, w2, f2, nv = combine_lanes(kseg, w_eff, fseg)
         k = lax.dynamic_update_slice(k, k2, (0,))
         w = lax.dynamic_update_slice(w, w2, (0,))
-        return k[None, None], w[None, None], nv[None, None]
+        f = lax.dynamic_update_slice(f, f2, (0,))
+        return k[None, None], w[None, None], f[None, None], nv[None, None]
 
     lane_s = P("data", "shard", None)
     scal_s = P("data", "shard")
     return jax.jit(
         jax.shard_map(local, mesh=mesh,
-                      in_specs=(lane_s, lane_s, P()),
-                      out_specs=(lane_s, lane_s, scal_s)),
-        donate_argnums=(0, 1),
+                      in_specs=(lane_s, lane_s, lane_s, P()),
+                      out_specs=(lane_s, lane_s, lane_s, scal_s)),
+        donate_argnums=(0, 1, 2),
     )
 
 
@@ -259,63 +291,121 @@ def make_routed_collect_step(mesh: Mesh, F: int, cap_dest: int,
     Lanes that overflow a destination's fixed capacity stay local and
     come back compacted for the next drain round (from_buffer=False).
 
-    step(ledger_k, ledger_w, keys, wgts, off, loff)
-      -> (ledger_k, ledger_w, left_k[D,S,F], left_w, n_left[D,S])
+    step(ledger_k, ledger_w, ledger_f, keys, wgts, idxs, off, loff)
+      -> (ledger_k, ledger_w, ledger_f, left_k[D,S,F], left_w, left_f,
+          n_left[D,S])
 
-    from_buffer=True: keys/wgts are the full [D,S,cap] buffers and the
-    window [off, off+F) is sliced on device; otherwise keys/wgts are
+    from_buffer=True: keys/wgts/idxs are the full [D,S,cap] buffers and
+    the window [off, off+F) is sliced on device; otherwise they are
     [D,S,F] leftover arrays from the previous round (off ignored)."""
-    from khmer_tpu.ops.deferred import SENTINEL
+    from khmer_tpu.ops.deferred import IDX_SENTINEL, SENTINEL
 
     NS = mesh.shape["data"] * mesh.shape["shard"]
 
-    def local(ledger_k, ledger_w, keys, wgts, off, loff):
+    def local(ledger_k, ledger_w, ledger_f, keys, wgts, idxs, off, loff):
         if from_buffer:
             k = lax.dynamic_slice(keys[0, 0], (off,), (F,))
             w = lax.dynamic_slice(wgts[0, 0], (off,), (F,))
+            f = lax.dynamic_slice(idxs[0, 0], (off,), (F,))
         else:
-            k, w = keys[0, 0], wgts[0, 0]
+            k, w, f = keys[0, 0], wgts[0, 0], idxs[0, 0]
         if NS > 1:
-            send_h, send_w, left_h, left_w, n_left = _route_with_leftover(
-                k, w, NS, cap_dest)
+            (send_h, send_w, send_f, left_h, left_w, left_f,
+             n_left) = _route_with_leftover(k, w, f, NS, cap_dest)
             recv_h = lax.all_to_all(send_h, _AXES, 0, 0).reshape(-1)
             recv_w = lax.all_to_all(send_w, _AXES, 0, 0).reshape(-1)
+            recv_f = lax.all_to_all(send_f, _AXES, 0, 0).reshape(-1)
         else:
-            recv_h, recv_w = k, w
+            recv_h, recv_w, recv_f = k, w, f
             left_h = jnp.full(k.shape, SENTINEL, U64)
             left_w = jnp.zeros(w.shape, U32)
+            left_f = jnp.full(f.shape, IDX_SENTINEL, U32)
             n_left = jnp.zeros((), I32)
         lk = lax.dynamic_update_slice(ledger_k[0, 0], recv_h, (loff,))
         lw = lax.dynamic_update_slice(ledger_w[0, 0], recv_w, (loff,))
-        return (lk[None, None], lw[None, None], left_h[None, None],
-                left_w[None, None], n_left[None, None])
+        lf = lax.dynamic_update_slice(ledger_f[0, 0], recv_f, (loff,))
+        return (lk[None, None], lw[None, None], lf[None, None],
+                left_h[None, None], left_w[None, None],
+                left_f[None, None], n_left[None, None])
 
     lane_s = P("data", "shard", None)
     scal_s = P("data", "shard")
     return jax.jit(
         jax.shard_map(local, mesh=mesh,
-                      in_specs=(lane_s, lane_s, lane_s, lane_s, P(), P()),
-                      out_specs=(lane_s, lane_s, lane_s, lane_s, scal_s)),
-        donate_argnums=(0, 1),
+                      in_specs=(lane_s, lane_s, lane_s, lane_s, lane_s,
+                                lane_s, P(), P()),
+                      out_specs=(lane_s, lane_s, lane_s, lane_s, lane_s,
+                                 lane_s, scal_s)),
+        donate_argnums=(0, 1, 2),
     )
+
+
+@lru_cache(maxsize=None)
+def make_claims_step(spec: SketchSpec, mesh: Mesh, virgin: bool):
+    """Jitted exact n_unique accounting over the FULL owner-distinct
+    lane set (reference claim rule; ops/deferred.py docstring).
+
+    Claims cross shard boundaries — a serial-table bin collects keys
+    from many band owners — so each table builds a dense claim array
+    (scatter-min of first positions over local keys) and all-reduce-
+    mins it across the mesh; a shard's key is new iff for some table
+    the pre-consume bin is zero AND the mesh-wide minimum first
+    position at its bin is its own.  Keys are band-partitioned, so the
+    per-shard new counts partition the global count exactly.
+
+    step(uniq, keys, wgts, firsts[, base]) -> uniq"""
+    from khmer_tpu.ops.deferred import IDX_SENTINEL, SENTINEL
+
+    def local(uniq, keys, wgts, firsts, *maybe_base):
+        k = keys[0, 0]
+        w = wgts[0, 0]
+        f = firsts[0, 0]
+        valid = (k != SENTINEL) & (w > 0)
+        fv = jnp.where(valid, f, IDX_SENTINEL)
+        newflag = jnp.zeros(k.shape, bool)
+        for t in range(spec.n_tables):
+            p = int(spec.tablesizes[t])
+            off = int(spec.bin_offsets[t])
+            bins = jnp.where(valid, (k % U64(p)).astype(I64),
+                             jnp.int64(p))
+            claim = jnp.full(p + 1, IDX_SENTINEL, U32).at[bins].min(fv)
+            claim = lax.pmin(lax.pmin(claim, "shard"), "data")
+            own = claim[bins] == fv
+            if virgin:
+                win = own
+            else:
+                base = maybe_base[0]
+                gidx = jnp.where(valid, bins + off,
+                                 jnp.int64(spec.total_bins))
+                win = own & (base[gidx] == 0)
+            newflag = newflag | (valid & win)
+        n_new = jnp.sum(newflag.astype(U64))
+        return (uniq[0, 0] + n_new)[None, None]
+
+    scal_s = P("data", "shard")
+    lane_s = P("data", "shard", None)
+    in_specs = [scal_s, lane_s, lane_s, lane_s]
+    if not virgin:
+        in_specs.append(P(None))
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                      out_specs=scal_s))
 
 
 @lru_cache(maxsize=None)
 def make_sharded_flush_step(spec: SketchSpec, mesh: Mesh, F: int,
                             virgin: bool, track_bigcount: bool):
     """Jitted flush of one window of owner-distinct (key, total) lanes
-    into the per-shard partial tables, with consume-wide n_unique
-    accounting against the PRE-CONSUME serial table `base` (replicated)
-    — or no gather at all when the consume started from a virgin
-    (all-zero) table.  Bigcount candidates are all_gathered so every
-    process can read them (multi-host safety).
+    into the per-shard partial tables (n_unique is accounted
+    separately by make_claims_step).  Bigcount candidates are
+    all_gathered so every process can read them (multi-host safety).
 
-    step(tables, uniq, keys, wgts, off[, base])
-      -> (tables, uniq[, cand [D*S*F] replicated, n_cross [D*S] repl.])
+    step(tables, keys, wgts, off[, base])
+      -> (tables[, cand [D*S*F] replicated, n_cross [D*S] repl.])
     """
     from khmer_tpu.ops.deferred import SENTINEL
 
-    def local(tables, uniq, keys, wgts, off, *maybe_base):
+    def local(tables, keys, wgts, off, *maybe_base):
         tbl = tables[0, 0]
         rk = lax.dynamic_slice(keys[0, 0], (off,), (F,))
         rw = lax.dynamic_slice(wgts[0, 0], (off,), (F,))
@@ -323,17 +413,13 @@ def make_sharded_flush_step(spec: SketchSpec, mesh: Mesh, F: int,
         idx = _bin_idx(spec, rk)
         dummy = jnp.int64(spec.total_bins)
         idx = jnp.where(w[None, :] > 0, idx, dummy)
-        if virgin:
-            n_new = jnp.sum((w > 0).astype(U64))
-            pre0 = jnp.zeros(w.shape, U32)
-        else:
-            pre = maybe_base[0][idx]
-            premin = jnp.min(pre, axis=0)
-            n_new = jnp.sum(((premin == 0) & (w > 0)).astype(U64))
-            pre0 = pre[0]
         tbl = tbl.at[idx.reshape(-1)].add(jnp.tile(w, spec.n_tables))
-        outs = [tbl[None, None], (uniq[0, 0] + n_new)[None, None]]
+        outs = [tbl[None, None]]
         if track_bigcount:
+            if virgin:
+                pre0 = jnp.zeros(w.shape, U32)
+            else:
+                pre0 = maybe_base[0][idx[0]]
             cross = (pre0 + w > 255) & (w > 0)
             cand = lax.sort(jnp.where(cross, rk, SENTINEL))
             n_cross = jnp.sum(cross.astype(U32))
@@ -342,12 +428,11 @@ def make_sharded_flush_step(spec: SketchSpec, mesh: Mesh, F: int,
         return tuple(outs)
 
     tbl_s = P("data", "shard", None)
-    scal_s = P("data", "shard")
     lane_s = P("data", "shard", None)
-    in_specs = [tbl_s, scal_s, lane_s, lane_s, P()]
-    if not virgin:
+    in_specs = [tbl_s, lane_s, lane_s, P()]
+    if not virgin and track_bigcount:
         in_specs.append(P(None))
-    out_specs = [tbl_s, scal_s]
+    out_specs = [tbl_s]
     kwargs = {}
     if track_bigcount:
         out_specs += [P(), P()]
@@ -390,12 +475,13 @@ def make_scalar_max(mesh: Mesh):
 
 @lru_cache(maxsize=None)
 def _make_grow_copy(mesh: Mesh):
-    @partial(jax.jit, donate_argnums=(1, 2),
+    @partial(jax.jit, donate_argnums=(1, 2, 3),
              static_argnums=())
-    def fn(old_k, new_k, new_w, old_w):
+    def fn(old_k, new_k, new_w, new_f, old_w, old_f):
         new_k = lax.dynamic_update_slice(new_k, old_k, (0, 0, 0))
         new_w = lax.dynamic_update_slice(new_w, old_w, (0, 0, 0))
-        return new_k, new_w
+        new_f = lax.dynamic_update_slice(new_f, old_f, (0, 0, 0))
+        return new_k, new_w, new_f
 
     return fn
 
@@ -414,10 +500,11 @@ class ShardedDeferredConsumer:
     bigcount_candidates) for the host Storage to adopt.
 
     Parity: counts serial-exact (sum of partials; saturation at read);
-    n_unique BIT-EQUAL to the single-device deferred path (both count
-    distinct consumed hashes whose premin in the pre-consume table was
-    zero; bands partition the hash space so each hash's total lives on
-    exactly one owner).  Drops are structurally impossible: routing
+    n_unique BIT-EQUAL to the single-device deferred path and exact
+    reference parity (module docstring claim rule; bands partition the
+    hash space so each hash lives on exactly one owner, and claims are
+    all-reduce-min'd across the mesh).  Drops are structurally
+    impossible: routing
     overflow lanes stay local and the drain loop re-routes until none
     remain.
 
@@ -472,6 +559,10 @@ class ShardedDeferredConsumer:
             lane_sh)
         self.wgts = jax.device_put(
             jnp.zeros((self.D, self.S, self.cap), U32), lane_sh)
+        self.idx = jax.device_put(
+            jnp.full((self.D, self.S, self.cap), dfr.IDX_SENTINEL, U32),
+            lane_sh)
+        self.batch = 0  # dispatched chunk batches (global chunk order)
         self.tables = jax.device_put(
             jnp.zeros((self.D, self.S, spec.total_bins + 1), U32),
             lane_sh)
@@ -489,6 +580,7 @@ class ShardedDeferredConsumer:
         # owner-side ledger bag (allocated at finish)
         self.ledger_k = None
         self.ledger_w = None
+        self.ledger_f = None
         self.ledger_cap = 0
         self.ledger_fill = 0
 
@@ -543,9 +635,11 @@ class ShardedDeferredConsumer:
             packed = jax.device_put(
                 stack.reshape(self.D, self.S, packed_len), self.lane_sh)
         with stage("shard-append", lanes=self.chunk_lanes):
-            self.keys, self.consumed = self._append(
-                self.keys, jnp.int32(self.fill), self.consumed, packed)
+            self.keys, self.idx, self.consumed = self._append(
+                self.keys, self.idx, jnp.int32(self.fill),
+                jnp.int32(self.batch), self.consumed, packed)
         self.fill += self.chunk_lanes
+        self.batch += 1
 
     def _merge(self):
         from khmer_tpu.ops import deferred as dfr
@@ -557,8 +651,9 @@ class ShardedDeferredConsumer:
         step = make_sharded_merge_step(self.mesh, self.survivors == 0,
                                        bucket)
         with stage("shard-merge", lanes=bucket):
-            self.keys, self.wgts, nv = step(self.keys, self.wgts,
-                                            jnp.int32(self.survivors))
+            self.keys, self.wgts, self.idx, nv = step(
+                self.keys, self.wgts, self.idx,
+                jnp.int32(self.survivors))
         self.fill = int(np.asarray(self._max(nv)))
         self.survivors = self.fill
         self._merge_at = min(max(dfr.MIN_MERGE, 2 * self.fill), self.cap)
@@ -574,10 +669,14 @@ class ShardedDeferredConsumer:
                                          dfr.SENTINEL, U64), self.lane_sh)
             nw = jax.device_put(jnp.zeros((self.D, self.S, need), U32),
                                 self.lane_sh)
+            nf = jax.device_put(jnp.full((self.D, self.S, need),
+                                         dfr.IDX_SENTINEL, U32),
+                                self.lane_sh)
             if self.ledger_k is not None:
                 grow = _make_grow_copy(self.mesh)
-                nk, nw = grow(self.ledger_k, nk, nw, self.ledger_w)
-            self.ledger_k, self.ledger_w = nk, nw
+                nk, nw, nf = grow(self.ledger_k, nk, nw, nf,
+                                  self.ledger_w, self.ledger_f)
+            self.ledger_k, self.ledger_w, self.ledger_f = nk, nw, nf
             self.ledger_cap = need
 
     def finish(self, base_table=None, virgin=None):
@@ -589,7 +688,7 @@ class ShardedDeferredConsumer:
 
         `base_table` is the consuming Storage's pre-consume serial
         table; pass virgin=True (or base_table=None) when it is known
-        all-zero — the flush then skips the premin gather entirely."""
+        all-zero — the claims step then skips the base gather."""
         from khmer_tpu.ops import deferred as dfr
 
         self._dispatch()
@@ -610,19 +709,21 @@ class ShardedDeferredConsumer:
         first = make_routed_collect_step(self.mesh, F, cap_dest, True)
         drain = make_routed_collect_step(self.mesh, F, cap_dest, False)
         loff = 0
-        self.routed_bytes = 0      # all_to_all payload (12 B/lane)
+        self.routed_bytes = 0      # all_to_all payload (16 B/lane)
         self.route_rounds = 0
         self.drain_rounds = 0
         for off in range(0, n, F):
-            keys, wgts, step = self.keys, self.wgts, first
+            keys, wgts, idxs, step = self.keys, self.wgts, self.idx, first
             woff = jnp.int32(off)
             while True:
                 self._ledger_room(loff + block)
                 with stage("shard-route", lanes=block):
-                    out = step(self.ledger_k, self.ledger_w, keys, wgts,
+                    out = step(self.ledger_k, self.ledger_w,
+                               self.ledger_f, keys, wgts, idxs,
                                woff, jnp.int32(loff))
-                self.ledger_k, self.ledger_w, keys, wgts, n_left = out
-                self.routed_bytes += block * 12
+                (self.ledger_k, self.ledger_w, self.ledger_f,
+                 keys, wgts, idxs, n_left) = out
+                self.routed_bytes += block * 16
                 self.route_rounds += 1
                 if step is drain:
                     self.drain_rounds += 1
@@ -633,33 +734,41 @@ class ShardedDeferredConsumer:
         self.ledger_fill = loff
         self.keys = None
         self.wgts = None
+        self.idx = None
         # -- owner-side exact combine ---------------------------------------
         bucket = min(max(dfr._next_pow2(self.ledger_fill),
                          dfr.MIN_BUCKET), self.ledger_cap)
         merge = make_sharded_merge_step(self.mesh, False, bucket)
         with stage("shard-owner-combine", lanes=bucket):
-            ok, ow, nv = merge(self.ledger_k, self.ledger_w,
-                               jnp.int32(self.ledger_fill))
+            ok, ow, of, nv = merge(self.ledger_k, self.ledger_w,
+                                   self.ledger_f,
+                                   jnp.int32(self.ledger_fill))
         self.ledger_k = None
         self.ledger_w = None
+        self.ledger_f = None
         self.ledger_cap = 0
         n_max = int(np.asarray(self._max(nv)))
-        # -- one flush per partial table -------------------------------------
-        Fw = min(max(dfr._next_pow2(max(n_max, 1)), dfr.MIN_BUCKET),
-                 self.max_flush, int(ok.shape[-1]))
-        flush = make_sharded_flush_step(self.spec, self.mesh, Fw,
-                                        bool(virgin), self._track_bigcount)
+        # -- exact n_unique claims over the full owner-distinct set ----------
         base_args = ()
         if not virgin:
             base_args = (jax.device_put(
                 base_table, NamedSharding(self.mesh, P())),)
+        claims = make_claims_step(self.spec, self.mesh, bool(virgin))
+        with stage("shard-claims", lanes=int(ok.shape[-1])):
+            self.uniq = claims(self.uniq, ok, ow, of, *base_args)
+        # -- one flush per partial table -------------------------------------
+        Fw = min(max(dfr._next_pow2(max(n_max, 1)), dfr.MIN_BUCKET),
+                 self.max_flush, int(ok.shape[-1]))
+        bc_base = base_args if (self._track_bigcount and not virgin) \
+            else ()
+        flush = make_sharded_flush_step(self.spec, self.mesh, Fw,
+                                        bool(virgin), self._track_bigcount)
         for off in range(0, max(n_max, 1), Fw):
           with stage("shard-flush", lanes=Fw * self.spec.n_tables):
-            out = flush(self.tables, self.uniq, ok, ow,
-                        jnp.int32(off), *base_args)
-            self.tables, self.uniq = out[0], out[1]
+            out = flush(self.tables, ok, ow, jnp.int32(off), *bc_base)
+            self.tables = out[0]
             if self._track_bigcount:
-                self._bc_pending.append((out[2], out[3]))
+                self._bc_pending.append((out[1], out[2]))
         for cand, n_cross in self._bc_pending:
             nc = np.asarray(n_cross).reshape(self.NS)
             ch = np.asarray(cand).reshape(self.NS, -1)

@@ -169,7 +169,10 @@ class Storage:
     # -- update/query -----------------------------------------------------
 
     def add_batch(self, hashes, weights=None):
-        """Add a batch of k-mer hashes; returns per-lane was-new bools.
+        """Add a batch of k-mer hashes; returns per-lane was-new bools
+        with the reference's exact sequential semantics (an occurrence
+        is new iff some table bin was zero immediately before its
+        insert — storage.hh:176-203; lane order is insertion order).
 
         Lanes are padded to a power-of-two bucket (zero weights) so
         arbitrary batch sizes reuse a handful of compiled shapes —
@@ -193,7 +196,7 @@ class Storage:
         self._virgin = False
         self._track_bigcount_aux(aux, hashes=hashes[:n])
         self._mirror_host_add(hashes[:n], weights[:n])
-        return (aux["premin"] == 0)[:n]
+        return aux["is_new"][:n]
 
     def _mirror_host_add(self, hashes, weights):
         """Keep the host count snapshot (host_counts) coherent across

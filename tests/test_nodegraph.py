@@ -752,12 +752,9 @@ def test_n_occupied_vs_countgraph_another_size():
     assert nodegraph.n_occupied() == 3269, nodegraph.n_occupied()
     assert countgraph.n_occupied() == 3269, countgraph.n_occupied()
 
-    # reference golden is 3916; khmer-tpu's batched insert premins each
-    # read as one window, so one within-read bin collision on this
-    # saturated 10k-bin config is not suppressed (documented estimator
-    # semantics; the unsaturated config above matches exactly)
-    assert nodegraph.n_unique_kmers() == 3917
-    assert countgraph.n_unique_kmers() == 3917
+    # collision-suppressed reference golden (sequential claim rule)
+    assert nodegraph.n_unique_kmers() == 3916
+    assert countgraph.n_unique_kmers() == 3916
 
 
 def test_traverse_linear_path():

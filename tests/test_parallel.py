@@ -26,6 +26,23 @@ def _need_devices(n):
         pytest.skip("needs %d devices" % n)
 
 
+def _ref_n_unique(primes, ordered_hashes):
+    """Reference-exact sequential n_unique (storage.hh:176-203,
+    :575-628): an occurrence is new iff some table bin is zero
+    immediately before its insert, processed in stream order."""
+    tables = [np.zeros(int(p), np.uint32) for p in primes]
+    n = 0
+    for h in np.asarray(ordered_hashes, np.uint64):
+        new = False
+        for t, p in zip(tables, primes):
+            b = int(h % np.uint64(p))
+            if t[b] == 0:
+                new = True
+            t[b] += 1
+        n += int(new)
+    return n
+
+
 def _consume_both(mesh, D, S, seed=1):
     spec = SketchSpec("byte", tuple(get_n_primes_near_x(3, 10_000)), True)
     consumer = ShardedDeferredConsumer(spec, K, "2bit", mesh=mesh,
@@ -53,7 +70,7 @@ def _consume_both(mesh, D, S, seed=1):
             table, _, _, _ = sketch_update(
                 spec, table, z, z, hs,
                 jnp.ones(CHUNK - K + 1, jnp.uint32))
-    truth = len(np.unique(np.concatenate(all_h)))
+    truth = _ref_n_unique(spec.tablesizes, np.concatenate(all_h))
     return (spec, consumer, data, np.asarray(table), delta, n_unique,
             n_consumed, truth)
 
@@ -68,7 +85,7 @@ def test_sharded_consume_serial_equivalence(shape):
 
     assert consumer.n_dropped == 0
     assert n_consumed == D * S * (CHUNK - K + 1)
-    # virgin-table n_unique is the exact distinct count
+    # reference-exact sequential n_unique (claim rule)
     assert n_unique == truth
     assert np.array_equal(np.asarray(delta), serial_table)
 
@@ -224,10 +241,10 @@ def test_sharded_n_unique_serial_exact_under_saturation(tmpdir,
                                                         monkeypatch):
     """Round-2's VERDICT #4: the n_unique estimator must not depend on
     the device count, even when the table saturates (heavy bin
-    collisions).  Both the serial and sharded deferred paths now count
-    distinct consumed hashes against the PRE-CONSUME table, so they
-    agree bit-for-bit — on a fresh table, both equal the true distinct
-    count."""
+    collisions).  Both the serial and sharded deferred paths implement
+    the reference's exact sequential claim rule, so they agree
+    bit-for-bit with each other AND with a host-side replay of the
+    reference's serial insert loop."""
     _need_devices(2)
     from khmer_tpu.graph import Countgraph
 
@@ -244,10 +261,10 @@ def test_sharded_n_unique_serial_exact_under_saturation(tmpdir,
     sharded = Countgraph(K, primes=[1009, 1013, 1019])
     sharded.consume_seqfile(infile)
 
-    # exact truth: distinct canonical k-mer hashes of the read set
+    # reference truth: sequential replay of the serial insert loop
     hashes = [np.asarray(serial.get_kmer_hashes(r), np.uint64)
               for r in reads]
-    truth = len(np.unique(np.concatenate(hashes)))
+    truth = _ref_n_unique([1009, 1013, 1019], np.concatenate(hashes))
 
     assert serial.n_unique_kmers() == truth
     assert sharded.n_unique_kmers() == truth

@@ -45,7 +45,7 @@ def _run(extra_env, tmpdir):
         capture_output=True, text=True, timeout=300, env=env,
         cwd=str(tmpdir))
     assert r.returncode == 0, r.stderr[-2000:]
-    assert r.stdout.strip().splitlines()[-1] == "3855"
+    assert r.stdout.strip().splitlines()[-1] == "3854"
 
 
 def test_stage_timing_dump(tmpdir):

@@ -11,11 +11,10 @@ Porting notes:
     --loadtable/--savetable spellings, the removed count-overlap.py,
     the 2.x ".pt" output suffix) are kept as explicitly-skipped defs
     with the reason recorded, so per-test parity is auditable.
-  * n_unique golden note: khmer-tpu's n_unique estimator counts the
-    exact number of distinct consumed k-mers (min-count-vs-pre-consume
-    table == 0); the reference's serial insert undercounts when a
-    deliberately tiny table collides (e.g. '-x 1e3' gives 94 there,
-    95 = the true count here).  Affected goldens carry a comment.
+  * n_unique is reference-exact (sequential claim rule,
+    khmer_tpu/ops/deferred.py): all goldens are the reference's own
+    values, including the collision-suppressed 94 of the '-x 1e3'
+    configs (reference tests/test_scripts.py:75,179).
   * RNG goldens (sample-reads-randomly) use the reference's own
     python3 answer sets — the scripts use the same random.Random
     call sequence.
@@ -63,10 +62,9 @@ def test_load_into_counting():
     args.extend([outfile, infile])
 
     (status, out, err) = utils.runscript(script, args)
-    # reference golden is 94: its serial insert undercounts on the
-    # deliberately-saturated 1e3-bin table; khmer-tpu reports the
-    # exact distinct count (95, the same value the 1e7 config gives)
-    assert 'Total number of unique k-mers: 95' in err, err
+    # collision-suppressed serial count on the tiny 1e3-bin table
+    # (reference tests/test_scripts.py:75)
+    assert 'Total number of unique k-mers: 94' in err, err
     assert os.path.exists(outfile)
 
 
@@ -170,8 +168,8 @@ def test_load_into_counting_abundance_dist_nobig():
     args.extend([outfile, infile])
 
     (status, out, err) = utils.runscript(script, args)
-    # see n_unique golden note in the module docstring (reference: 94)
-    assert 'Total number of unique k-mers: 95' in err, err
+    # collision-suppressed golden (reference tests/test_scripts.py:179)
+    assert 'Total number of unique k-mers: 94' in err, err
     assert os.path.exists(outfile)
 
     htfile = outfile
@@ -1313,9 +1311,8 @@ def test_load_graph_write_fp():
     info_file = outfile + '.info'
     assert os.path.exists(info_file), info_file
     data = set(x.strip() for x in open(info_file))
-    # reference golden is '3959 unique k-mers' — the same 1-less
-    # Bloom-collision undercount as the n_unique note above
-    assert '3960 unique k-mers' in data, data
+    # collision-suppressed golden (reference tests/test_scripts.py:1901)
+    assert '3959 unique k-mers' in data, data
     assert 'false positive rate estimated to be 0.002' in data
 
 
@@ -1331,7 +1328,7 @@ def test_oxli_build_graph_write_fp():
     info_file = outfile + '.info'
     assert os.path.exists(info_file), info_file
     data = set(x.strip() for x in open(info_file))
-    assert '3960 unique k-mers' in data, data
+    assert '3959 unique k-mers' in data, data
     assert 'false positive rate estimated to be 0.002' in data
 
 
