@@ -382,14 +382,58 @@ def flush_table_ops(spec, table, keys, totals, firsts, virgin,
     return table, n_new
 
 
+def flush_table_ops_dense(spec, table, keys, totals, firsts, virgin,
+                          track_bigcount):
+    """flush_table_ops with DENSE claim arrays instead of per-table
+    sorts: per table, a scatter-min of first positions into a
+    [tablesize+1] scratch gives each bin's first claimant; the gather
+    back aligns wins per lane, so the cross-table OR needs no loser
+    sort.  Bit-identical results; this is the fast strategy on
+    XLA:CPU, where a u64 sort runs ~2 M lanes/s against ~170 M/s
+    scatter/gather (on TPU the sort strategy wins — make_flush_fn
+    picks per backend)."""
+    valid = (keys != SENTINEL) & (totals > 0)
+    firsts = jnp.where(valid, firsts, IDX_SENTINEL)
+    big_idx = spec.total_bins > (1 << 31) - 2
+    idt = I64 if big_idx else I32
+    new = jnp.zeros(keys.shape, bool)
+    cand = None
+    n_cross = None
+    for t in range(spec.n_tables):
+        p = int(spec.tablesizes[t])
+        off = int(spec.bin_offsets[t])
+        bins = jnp.where(valid, (keys % U64(p)).astype(idt), idt(p))
+        gidx = jnp.where(valid, bins + idt(off), idt(spec.total_bins))
+        need_pre = (not virgin) or (track_bigcount and t == 0)
+        pre = table[gidx] if need_pre else None
+        claim = jnp.full(p + 1, IDX_SENTINEL, U32).at[bins].min(firsts)
+        own = (claim[bins] == firsts) & valid
+        win = own if virgin else own & (pre == 0)
+        new = new | win
+        if track_bigcount and t == 0:
+            base0 = totals if virgin else pre + totals
+            cross = valid & (base0 > U32(255))
+            cand = lax.sort(jnp.where(cross, keys, SENTINEL))
+            n_cross = jnp.sum(cross.astype(U32))
+        table = table.at[gidx].add(jnp.where(valid, totals, U32(0)))
+    n_new = jnp.sum(new.astype(U64))
+    if track_bigcount:
+        return table, n_new, cand, n_cross
+    return table, n_new
+
+
 @lru_cache(maxsize=None)
 def make_flush_fn(spec, virgin, track_bigcount):
-    """Jitted one-window sketch flush (flush_table_ops)."""
+    """Jitted one-window sketch flush; picks the per-backend strategy
+    (sort-based on accelerators, dense claim arrays on CPU — both
+    bit-identical, see flush_table_ops_dense)."""
+    ops = flush_table_ops_dense if jax.default_backend() == "cpu" \
+        else flush_table_ops
 
     @partial(jax.jit, donate_argnums=(0,))
     def fn(table, keys, totals, firsts):
-        return flush_table_ops(spec, table, keys, totals, firsts,
-                               virgin, track_bigcount)
+        return ops(spec, table, keys, totals, firsts,
+                   virgin, track_bigcount)
     return fn
 
 

@@ -702,7 +702,12 @@ class ShardedDeferredConsumer:
                 self.bigcount_candidates
         # -- routed collect: windows + drain rounds -------------------------
         F = min(max(dfr._next_pow2(n), dfr.MIN_BUCKET), self.max_flush)
-        cap_dest = max(64, 2 * (-(-F // self.NS)))
+        # per-destination capacity: fmix-mixed owners are uniform, so
+        # a 15% margin over the mean practically never overflows (the
+        # drain loop guarantees correctness when it does); the margin
+        # directly sets the all_to_all padding overhead
+        mean = -(-F // self.NS)
+        cap_dest = max(64, (mean + mean // 7 + 7) & ~7)
         block = self.NS * cap_dest
         n_win = -(-n // F)
         self._ledger_room(n_win * block + 2 * block)
