@@ -13,12 +13,12 @@ and prints ONE JSON line:
    "kmer_hash_gbps": <best GB/s of the bare hash kernel>,
    "hash_trials_gbps": [...], "backend": "...", ...}
 
-MEASUREMENT PROTOCOL (the one protocol all docs quote — VERDICT r2
-"what's weak" #1): N=3 timed trials of the identical call; trial 1
-also warms the XLA compile cache (persistent across runs); the BEST
-trial is the headline (the tunnel adds run-to-run noise that only
-subtracts), and all trials + the standard deviation are reported so
-the variance is visible.  The hash kernel number is the same
+MEASUREMENT PROTOCOL (the one protocol all docs quote — round-4
+VERDICT #8): trial 1 warms the persistent XLA compile cache and is
+reported separately as cold_mbps; warm trials repeat until the last
+two agree within 10% (cap 6); the headline is the CONVERGED value
+and stdev_mbps covers warm trials only.  The hash kernel number is
+the same
 kmer_hashes_2bit_pm_u32 [4096, 16403] dispatch used by
 benchmarks/bench_kernels.py — PARITY.md and BENCH_KERNELS.json must
 quote THIS number, not a differently-shaped variant.
@@ -166,27 +166,40 @@ def main():
         _make_reads(path)
     size = os.path.getsize(path)
 
+    # converged protocol (round-4 VERDICT #8): trial 1 warms the
+    # persistent XLA compile cache and is reported separately as
+    # cold_mbps; warm trials repeat until the last two agree within
+    # 10% (cap 6), and the headline is the LAST (converged) value, so
+    # round-over-round comparisons measure steady state, not warm-up.
     trials = []
-    for _trial in range(TRIALS):
+    while len(trials) < 7:
         cg = khmer_tpu.Countgraph(20, 100_000_000, 4)
         t0 = time.perf_counter()
         cg.consume_seqfile(path)
         cg.n_unique_kmers()  # forces the full flush
         trials.append(size / (time.perf_counter() - t0) / 1e6)
+        warm = trials[1:]
+        if len(warm) >= 2 and abs(warm[-1] - warm[-2]) <= \
+                0.1 * max(warm[-1], warm[-2]):
+            break
+    warm = trials[1:]
 
     hash_trials = _hash_kernel_gbps()
     out = {
         "metric": "consume_mbps",
-        "value": round(max(trials), 2),
+        "value": round(warm[-1], 2),
         "unit": "MB/s",
-        "vs_baseline": round(max(trials) / 12.0, 3),
+        "vs_baseline": round(warm[-1] / 12.0, 3),
         "trials_mbps": [round(t, 2) for t in trials],
-        "stdev_mbps": round(float(np.std(trials)), 2),
+        "cold_mbps": round(trials[0], 2),
+        "stdev_mbps": round(float(np.std(warm)), 2),
         "kmer_hash_gbps": round(max(hash_trials), 3),
         "hash_trials_gbps": [round(t, 3) for t in hash_trials],
         "backend": jax.default_backend(),
-        "protocol": "best of %d; trial 1 warms the persistent XLA "
-                    "compile cache" % TRIALS,
+        "protocol": "steady-state: trial 1 warms the persistent XLA "
+                    "compile cache (reported as cold_mbps); warm "
+                    "trials repeat until the last two agree within "
+                    "10%; headline = the converged value",
         "captured_unix": int(time.time()),
     }
     if out["backend"] != "cpu":

@@ -162,21 +162,30 @@ def sketch_update(spec: SketchSpec, table, n_occupied, n_unique, hashes,
     table = table.at[idx.reshape(-1)].add(
         jnp.tile(w, spec.n_tables))
 
-    # reference claim rule, per table: sort occurrences by (bin,
-    # position); the run head claims the bin; scatter the claim flags
-    # back to lane order by the carried lane id.
+    # reference claim rule, per table; two bit-identical strategies:
+    # on CPU a dense claim array (scatter-min of positions, gather
+    # back) — XLA:CPU sorts are ~100x slower than its scatter/gather;
+    # on accelerators a (bin, position) sort whose run head claims,
+    # with the flags scattered back to lane order by the lane id.
     pos_key = jnp.where(w > 0, pos, ~U32(0))
-    lane = lax.iota(I32, n)
     is_new = jnp.zeros(n, bool)
-    for t in range(spec.n_tables):
-        bins = jnp.where(w > 0, idx[t].astype(jnp.int64),
-                         dummy).astype(jnp.int64)
-        sb, sp, sl = lax.sort((bins, pos_key, lane), num_keys=2)
-        claim_s = jnp.concatenate(
-            [jnp.ones((1,), bool), sb[1:] != sb[:-1]])
-        claim = jnp.zeros(n, bool).at[sl].set(claim_s,
-                                              unique_indices=True)
-        is_new = is_new | ((pre[t] == 0) & claim)
+    if jax.default_backend() == "cpu":
+        # the [T, N] bin indices are already offset per table, so ONE
+        # flat claim array covers every table
+        claim = jnp.full(spec.total_bins + 1, ~U32(0), U32)
+        claim = claim.at[idx.reshape(-1)].min(
+            jnp.tile(pos_key, spec.n_tables))
+        own = claim[idx] == pos_key[None, :]
+        is_new = ((pre == 0) & own).any(axis=0)
+    else:
+        lane = lax.iota(I32, n)
+        for t in range(spec.n_tables):
+            sb, sp, sl = lax.sort((idx[t], pos_key, lane), num_keys=2)
+            claim_s = jnp.concatenate(
+                [jnp.ones((1,), bool), sb[1:] != sb[:-1]])
+            claim = jnp.zeros(n, bool).at[sl].set(claim_s,
+                                                  unique_indices=True)
+            is_new = is_new | ((pre[t] == 0) & claim)
     is_new = is_new & (w > 0)
     n_unique = n_unique + jnp.sum(is_new.astype(U64))
 
