@@ -42,9 +42,21 @@ bench-scaling:
 examples:
 	$(CPUENV) bash examples/stamps/do.sh
 
+# stamps walkthrough, all stages in ONE python process (one backend
+# init + shared warm jit caches; scripts/khmer-run-pipeline.py)
+examples-fast:
+	$(CPUENV) KHMER_ONE_PROCESS=1 bash examples/stamps/do.sh
+
+# pre-seed the persistent XLA compile cache with the bucketed consume
+# and query shapes the CLI scripts dispatch (first compiles cost
+# 30-500 s over a tunneled TPU; cached ones milliseconds).  Run once
+# per backend; the cache lives in /tmp/khmer_tpu_jax_cache.
+warm-cache:
+	$(PYTHON) benchmarks/warm_cache.py
+
 clean:
 	rm -rf examples/stamps/out khmer_tpu/native/*.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
 
 .PHONY: all help native test smoke bench bench-kernels bench-scaling \
-    examples clean
+    examples examples-fast warm-cache clean

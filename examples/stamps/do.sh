@@ -8,6 +8,12 @@
 #
 # Usage:  [KHMER_DATA=/path/to/data] examples/stamps/do.sh
 # Writes all outputs into examples/stamps/out/.
+#
+# KHMER_ONE_PROCESS=1 runs every stage in ONE python process via
+# scripts/khmer-run-pipeline.py — one interpreter+JAX startup and
+# shared warm jit caches across stages instead of ~2.5 s of startup
+# per stage (the pipeline wall-clock mode; stages and their outputs
+# are identical).
 
 set -e # exit as soon as one command fails
 set -x # echo commands before executing them
@@ -28,38 +34,51 @@ cd "$OUT"
 # their input, and the data directory must stay read-only
 cp "$DATA/stamps-reads.fa.gz" .
 
-$PY "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-reads.ct \
+STAGEFILE="$OUT/.stages.txt"
+: > "$STAGEFILE"
+if [ -n "$KHMER_ONE_PROCESS" ]; then
+	# collect stages, run them in one process at the end
+	RUN() { printf '%q ' "$@" >> "$STAGEFILE"; printf '\n' >> "$STAGEFILE"; }
+else
+	RUN() { $PY "$@"; }
+fi
+
+RUN "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-reads.ct \
 	stamps-reads.fa.gz
-$PY "$SCRIPTS/abundance-dist.py" stamps-reads.ct stamps-reads.fa.gz \
+RUN "$SCRIPTS/abundance-dist.py" stamps-reads.ct stamps-reads.fa.gz \
 	stamps-reads.hist
-$PY "$SCRIPTS/normalize-by-median.py" -k 20 -C 10 -x 1e8 stamps-reads.fa.gz \
+RUN "$SCRIPTS/normalize-by-median.py" -k 20 -C 10 -x 1e8 stamps-reads.fa.gz \
 	--savegraph stamps-dn.ct
-$PY "$SCRIPTS/abundance-dist.py" stamps-dn.ct stamps-reads.fa.gz.keep \
+RUN "$SCRIPTS/abundance-dist.py" stamps-dn.ct stamps-reads.fa.gz.keep \
 	stamps-dn.hist
-$PY "$SCRIPTS/do-partition.py" -k 32 -x 1e8 -s 1e4 -T 8 stamps-part \
+RUN "$SCRIPTS/do-partition.py" -k 32 -x 1e8 -s 1e4 -T 8 stamps-part \
 	stamps-reads.fa.gz
-$PY "$SANDBOX/error-correct-pass2.py" --trusted-cov 10 stamps-dn.ct \
+RUN "$SANDBOX/error-correct-pass2.py" --trusted-cov 10 stamps-dn.ct \
 	stamps-reads.fa.gz
-$PY "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-corr.ct \
+RUN "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-corr.ct \
 	stamps-reads.fa.gz.corr
-$PY "$SCRIPTS/abundance-dist.py" stamps-corr.ct stamps-reads.fa.gz.corr \
+RUN "$SCRIPTS/abundance-dist.py" stamps-corr.ct stamps-reads.fa.gz.corr \
 	stamps-corr.hist
-$PY "$SCRIPTS/extract-partitions.py" stamps-part stamps-reads.fa.gz.part
-$PY "$SCRIPTS/extract-partitions.py" -X 1 stamps-part stamps-reads.fa.gz.part
-$PY "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-part.g0.ct \
+RUN "$SCRIPTS/extract-partitions.py" stamps-part stamps-reads.fa.gz.part
+RUN "$SCRIPTS/extract-partitions.py" -X 1 stamps-part stamps-reads.fa.gz.part
+RUN "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-part.g0.ct \
 	stamps-part.group0000.fa
-$PY "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-part.g1.ct \
+RUN "$SCRIPTS/load-into-counting.py" -x 1e8 -k 20 stamps-part.g1.ct \
 	stamps-part.group0001.fa
-$PY "$SCRIPTS/abundance-dist.py" stamps-part.g0.ct stamps-part.group0000.fa \
+RUN "$SCRIPTS/abundance-dist.py" stamps-part.g0.ct stamps-part.group0000.fa \
 	stamps-part.g0.hist
-$PY "$SCRIPTS/abundance-dist.py" stamps-part.g1.ct stamps-part.group0001.fa \
+RUN "$SCRIPTS/abundance-dist.py" stamps-part.g1.ct stamps-part.group0001.fa \
 	stamps-part.g1.hist
 
-$PY "$SCRIPTS/filter-abund.py" stamps-dn.ct stamps-reads.fa.gz.keep
-$PY "$SCRIPTS/normalize-by-median.py" -x 1e8 -k 20 -C 10 \
+RUN "$SCRIPTS/filter-abund.py" stamps-dn.ct stamps-reads.fa.gz.keep
+RUN "$SCRIPTS/normalize-by-median.py" -x 1e8 -k 20 -C 10 \
 	stamps-reads.fa.gz.keep.abundfilt --savegraph stamps-dn3.ct
 
-$PY "$SCRIPTS/abundance-dist.py" stamps-dn3.ct \
+RUN "$SCRIPTS/abundance-dist.py" stamps-dn3.ct \
 	stamps-reads.fa.gz.keep.abundfilt.keep stamps-dn3.hist
+
+if [ -n "$KHMER_ONE_PROCESS" ]; then
+	$PY "$SCRIPTS/khmer-run-pipeline.py" @"$STAGEFILE"
+fi
 
 echo stamps pipeline complete
