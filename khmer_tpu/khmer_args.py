@@ -518,7 +518,18 @@ def create_counttable(args, ksize=None, multiplier=1.0, fp_rate=0.1):
 def create_MQFGraph(args, ksize=None, multiplier=1.0, fp_rate=0.1):
     """Create a (buffered) MQF counttable from -U and --fp-rate
     (fork addition; sizing math ported from reference
-    khmer/khmer_args.py:548-598)."""
+    khmer/khmer_args.py:548-598).
+
+    DESIGN NOTE: the QF/MQF backends are HOST-exact by design — an
+    exact sorted-(key, count) dictionary, not a device-resident
+    table.  A quotient filter's insert is an inherently sequential
+    cluster-shifting structure with no batched formulation that
+    preserves its exact semantics, and its whole reason to exist
+    (memory-frugal exact counting) is already covered on device by
+    the band-sharded countgraph (khmer_tpu.parallel).  --mqf/--bmqf
+    therefore run the reference-compatible semantics at host speed;
+    pipelines that want TPU throughput should use the default
+    countgraph (docs/PARITY.md N4/N5)."""
     if ksize is None:
         ksize = args.ksize
     if ksize > 31:

@@ -424,14 +424,17 @@ def flush_table_ops_dense(spec, table, keys, totals, firsts, virgin,
 
 @lru_cache(maxsize=None)
 def make_flush_fn(spec, virgin, track_bigcount):
-    """Jitted one-window sketch flush; picks the per-backend strategy
-    (sort-based on accelerators, dense claim arrays on CPU — both
+    """Jitted one-window sketch flush; picks the strategy per backend
+    and shape (sort-based on accelerators and for small windows into
+    huge tables; dense claim arrays on CPU otherwise — both
     bit-identical, see flush_table_ops_dense)."""
-    ops = flush_table_ops_dense if jax.default_backend() == "cpu" \
-        else flush_table_ops
 
     @partial(jax.jit, donate_argnums=(0,))
     def fn(table, keys, totals, firsts):
+        dense_ok = spec.total_bins <= max(1 << 25, 64 * keys.shape[0])
+        ops = flush_table_ops_dense \
+            if jax.default_backend() == "cpu" and dense_ok \
+            else flush_table_ops
         return ops(spec, table, keys, totals, firsts,
                    virgin, track_bigcount)
     return fn

@@ -169,7 +169,11 @@ def sketch_update(spec: SketchSpec, table, n_occupied, n_unique, hashes,
     # with the flags scattered back to lane order by the lane id.
     pos_key = jnp.where(w > 0, pos, ~U32(0))
     is_new = jnp.zeros(n, bool)
-    if jax.default_backend() == "cpu":
+    # the dense strategy allocates a total_bins-sized claim scratch:
+    # only worth it when the batch is large relative to the sketch
+    # (tiny batches into huge tables would pay a GB-scale memset)
+    dense_ok = spec.total_bins <= max(1 << 25, 64 * n)
+    if jax.default_backend() == "cpu" and dense_ok:
         # the [T, N] bin indices are already offset per table, so ONE
         # flat claim array covers every table
         claim = jnp.full(spec.total_bins + 1, ~U32(0), U32)
