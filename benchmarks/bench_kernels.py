@@ -5,15 +5,18 @@ shapes and prints one JSON object — run on any backend; numbers feed
 BENCH_KERNELS.json for regression tracking (SURVEY §5 tracing/perf).
 
 Kernels:
-  kmer_hash        — phase-major u32-pair 2-bit hash (GB/s of bases)
   sort_u64         — flat 64-bit lane sort (M lanes/s), the deferred
                      counter's dominant primitive
   combine_lanes    — full dedup pass: sort + scans + compact sort
   scatter_add      — random u32 scatter-add (M lanes/s)
   gather           — random [T, N] gather (M lanes/s)
-  flush            — distinct-lane sketch flush (premin + scatter)
+  flush_virgin     — full distinct-lane flush, claims + sorted scatter
+  flush_preloaded  — same with the pre-consume gather (mask paths)
   loader           — native parse+clean+encode+chunk (MB/s of FASTA)
   consume_e2e      — Countgraph.consume_seqfile on a 70MB read set
+
+The hash kernel GB/s is bench.py's number (one protocol, ADVICE r3);
+it is deliberately NOT duplicated here.
 
 Usage: python benchmarks/bench_kernels.py [--json-out PATH]
 """
@@ -50,21 +53,12 @@ def main():
 
     from khmer_tpu.ops.deferred import (combine_lanes, combine_unit_lanes,
                                         make_flush_fn)
-    from khmer_tpu.ops.hashing import kmer_hashes_2bit_pm_u32
     from khmer_tpu.ops.sketch_ops import SketchSpec, alloc_table
     from khmer_tpu.primes import get_n_primes_near_x
 
     cpu = jax.default_backend() == "cpu"
     res = {"backend": jax.default_backend()}
     rng = np.random.default_rng(0)
-
-    # hash kernel
-    K = 20
-    R, L = (256, 4115) if cpu else (4096, 16403)
-    codes = jnp.asarray(rng.integers(0, 4, (R, L), dtype=np.uint8))
-    lengths = jnp.full((R,), L, jnp.int32)
-    fn = jax.jit(lambda c: kmer_hashes_2bit_pm_u32(c, lengths, K)[:2])
-    res["kmer_hash_gbps"] = round(R * L / timeit(fn, codes) / 1e9, 3)
 
     # sort + combine
     n = 1 << (20 if cpu else 24)

@@ -250,7 +250,7 @@ def kmer_hashes_2bit_pm_u32(codes, lengths, k: int):
     Returns (canon_hi, canon_lo, valid), each [16, B, nw] with lane
     (r, b, j) = the window of row b starting at code position 16j + r.
     This is the production hash kernel (throughput recorded by
-    bench.py as kmer_hash_gbps, best-of-3 on this exact [4096,16403]
+    bench.py as kmer_hash_gbps, best-of-N on this exact [4096,16403]
     dispatch — the single measurement protocol); the u64
     wrappers below combine the pairs for consumers that need them.
     """
