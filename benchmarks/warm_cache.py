@@ -64,17 +64,24 @@ def main():
                 f.write(lut[rng.integers(0, 4, 100)].tobytes() + b"\n")
 
     # the geometries khmer_args' defaults/examples produce: countgraph
-    # (2-bit) and counttable/nodegraph variants at a few -x ladders
-    for cls, x in ((khmer_tpu.Countgraph, 1e6),
-                   (khmer_tpu.Countgraph, 1e8),
-                   (khmer_tpu.Nodegraph, 1e8),
-                   (khmer_tpu.Counttable, 1e6)):
+    # (2-bit) and counttable/nodegraph variants at a few -x ladders.
+    # bigcount=True is the load-into-counting DEFAULT, and the flush
+    # kernels specialize on it — warm both variants (round-4
+    # BENCH_PIPELINES: the unwarmed bigcount flush cost 80 s of
+    # compiles on the 3 MB stamps input).
+    for cls, x, bigcount in ((khmer_tpu.Countgraph, 1e6, False),
+                             (khmer_tpu.Countgraph, 1e8, False),
+                             (khmer_tpu.Countgraph, 1e8, True),
+                             (khmer_tpu.Nodegraph, 1e8, False),
+                             (khmer_tpu.Counttable, 1e6, False)):
         t0 = time.time()
         g = cls(20, int(x), 4)
+        if bigcount:
+            g.set_use_bigcount(True)
         g.consume_seqfile(small)
         g.n_unique_kmers()
-        log("%s x=%g small consume: %.1fs"
-            % (cls.__name__, x, time.time() - t0))
+        log("%s x=%g bigcount=%s small consume: %.1fs"
+            % (cls.__name__, x, bigcount, time.time() - t0))
 
     t0 = time.time()
     g = khmer_tpu.Countgraph(20, int(1e8), 4)
@@ -82,6 +89,32 @@ def main():
     g.n_unique_kmers()
     log("Countgraph big consume (chunk ladder): %.1fs"
         % (time.time() - t0))
+
+    # mid-size consume with bigcount: a distinct-count scale between
+    # `small` and `big` exercises the intermediate flush-window
+    # buckets the stamps-class inputs hit
+    mid = os.path.join(tempfile.gettempdir(), "khmer_warm_mid.fa")
+    if not os.path.exists(mid):
+        with open(mid, "wb") as f:
+            for i in range(15_000):
+                f.write(b">r%d\n" % i)
+                f.write(lut[rng.integers(0, 4, 100)].tobytes() + b"\n")
+    t0 = time.time()
+    g = khmer_tpu.Countgraph(20, int(1e8), 4)
+    g.set_use_bigcount(True)
+    g.consume_seqfile(mid)
+    g.n_unique_kmers()
+    log("Countgraph mid consume (bigcount): %.1fs" % (time.time() - t0))
+
+    # HLL (unique-kmers) kernels at the script's default precision
+    t0 = time.time()
+    try:
+        hll = khmer_tpu.HLLCounter(0.01, 21)
+        hll.consume_seqfile(small)
+        hll.estimate_cardinality()
+        log("HLL consume: %.1fs" % (time.time() - t0))
+    except Exception as e:  # pragma: no cover - best effort warmer
+        log("HLL warm skipped: %s" % e)
 
     # query-width buckets: per-row hash+count and median paths
     t0 = time.time()
