@@ -422,19 +422,25 @@ def flush_table_ops_dense(spec, table, keys, totals, firsts, virgin,
     return table, n_new
 
 
+def choose_flush_ops(spec, n_lanes):
+    """Strategy chooser: sort-based on accelerators and for small
+    windows into huge tables; dense claim arrays on CPU otherwise.
+    Both are bit-identical (flush_table_ops_dense docstring); the
+    dense path's claim scratch is table-sized, so tiny batches into
+    huge sketches must not take it."""
+    dense_ok = spec.total_bins <= max(1 << 25, 64 * int(n_lanes))
+    if jax.default_backend() == "cpu" and dense_ok:
+        return flush_table_ops_dense
+    return flush_table_ops
+
+
 @lru_cache(maxsize=None)
 def make_flush_fn(spec, virgin, track_bigcount):
-    """Jitted one-window sketch flush; picks the strategy per backend
-    and shape (sort-based on accelerators and for small windows into
-    huge tables; dense claim arrays on CPU otherwise — both
-    bit-identical, see flush_table_ops_dense)."""
+    """Jitted one-window sketch flush (choose_flush_ops strategy)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def fn(table, keys, totals, firsts):
-        dense_ok = spec.total_bins <= max(1 << 25, 64 * keys.shape[0])
-        ops = flush_table_ops_dense \
-            if jax.default_backend() == "cpu" and dense_ok \
-            else flush_table_ops
+        ops = choose_flush_ops(spec, keys.shape[0])
         return ops(spec, table, keys, totals, firsts,
                    virgin, track_bigcount)
     return fn

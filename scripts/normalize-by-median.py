@@ -101,6 +101,40 @@ class Normalizer(object):
 
         graph = self.countgraph
         C = self.desired_coverage
+        # whole batch on device: keep decisions by a sequential scan
+        # with an additive tally, kept k-mers consumed with the exact
+        # n_unique claim rule, only the [B] keep flags fetched
+        # (hashtable.diginorm_batch; round-4 VERDICT #6)
+        seq_pairs = []
+        for bundle in pending:
+            r0 = bundle.reads[0].cleaned_seq
+            r1 = bundle.reads[1].cleaned_seq if len(bundle.reads) > 1 \
+                else None
+            seq_pairs.append((r0, r1))
+        # dispatch now, resolve LAZILY: the caller parses the next
+        # batch while this one computes on device
+        keeps_dev = graph.diginorm_batch(seq_pairs, C)
+        return pending, keeps_dev
+
+    def _emit(self, pending, keeps_dev):
+        import numpy as np
+
+        keeps = np.asarray(keeps_dev)
+        for i, bundle in enumerate(pending):
+            self.total += bundle.num_reads
+            if keeps[i]:
+                for record in bundle.reads:
+                    self.kept += 1
+                    yield record
+            self._maybe_report()
+
+    def _drain_host(self, pending):
+        """Host-replay fallback (bigcount graphs: the device flush
+        does not track bigcount candidates)."""
+        import numpy as np
+
+        graph = self.countgraph
+        C = self.desired_coverage
         seqs = []
         spans = []
         for bundle in pending:
@@ -147,14 +181,31 @@ class Normalizer(object):
             graph.storage.add_batch(np.concatenate(kept_rows))
 
     def __call__(self, reader):
+        host = getattr(self.countgraph, "get_use_bigcount",
+                       lambda: False)()
         pending = []
+        inflight = None  # (bundles, device keep flags) one batch behind
         for _, is_paired, read0, read1 in reader:
             pending.append(ReadBundle(read0, read1))
             if len(pending) >= self.batch:
-                yield from self._drain(pending)
+                if host:
+                    yield from self._drain_host(pending)
+                else:
+                    nxt = self._drain(pending)
+                    if inflight is not None:
+                        yield from self._emit(*inflight)
+                    inflight = nxt
                 pending = []
         if pending:
-            yield from self._drain(pending)
+            if host:
+                yield from self._drain_host(pending)
+            else:
+                nxt = self._drain(pending)
+                if inflight is not None:
+                    yield from self._emit(*inflight)
+                inflight = nxt
+        if inflight is not None:
+            yield from self._emit(*inflight)
 
 
 def BufferedReader(reader, bufferedCountTable, numReads):
