@@ -168,6 +168,13 @@ def main(quick=False):
     payload = {
         "backend": jax.default_backend(),
         "generated_by": "benchmarks/bench_pipelines.py",
+        "link_note": (
+            "single-sample walls over a tunneled TPU (~40-76 MB/s "
+            "h2d, ~0.2 s fixed cost per un-batched transfer, ~30 ms "
+            "per blocking fetch); run-to-run swings of 2-4x are the "
+            "link, not the program.  'make warm-cache' pre-seeds "
+            "every compile; KHMER_ONE_PROCESS=1 removes the ~2.5 s "
+            "per-stage startup for multi-stage pipelines."),
         "pipelines": results,
     }
     with open(out, "w") as f:
