@@ -482,6 +482,113 @@ def _make_row_hashes_counts_fn(spec, k, hash_kind):
 
 
 @lru_cache(maxsize=None)
+def _make_row_counts_fn(spec, k, hash_kind):
+    """Counts-only row query: like _make_row_hashes_counts_fn but the
+    hashes stay on device — readers that only need counts (trim pass2)
+    fetch 2 bytes per k-mer instead of 10."""
+    def fn(table, data, lengths):
+        if hash_kind == "2bit":
+            h, _ = kmer_hashes_2bit(data, lengths, k)
+        else:
+            h, _ = _bytes_hash(hash_kind)(data, lengths, k)
+        return sketch_get(spec, table, h)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize):
+    """Whole-batch trim-low-abund PASS 1 in one dispatch (reference
+    trim-low-abund.py:170-283 semantics, round-4 device port like
+    _make_diginorm_fn): per bundle, the minimum over reads of the true
+    median of (pre-batch count + additive tally of earlier SAVED
+    bundles' k-mers) picks the branch —
+      0 = skip (diginorm mode, min coverage >= dn_cov),
+      1 = trim now (min coverage >= trim_at; host trims with the
+          adjusted counts this fn returns),
+      2 = save for pass 2 (consumed on device with the exact n_unique
+          claim rule).
+    Only the [B] branch flags and the u16 adjusted counts cross back.
+
+    fn(table, uniq, data[B2,L], lengths[B2], real[B2], trim_at,
+       dn_cov) -> (table, uniq, branch[B], counts[B2, nw] u16)"""
+    from khmer_tpu.ops.deferred import (IDX_SENTINEL, SENTINEL,
+                                        TOTAL_CLAMP, choose_flush_ops)
+
+    I32_ = jnp.int32
+    CMAX = jnp.uint32(0xFFFFFFFF)
+
+    def fn(table, uniq, data, lengths, real, trim_at, dn_cov):
+        if hash_kind == "2bit":
+            h, valid = kmer_hashes_2bit(data, lengths, k)
+        else:
+            h, valid = _bytes_hash(hash_kind)(data, lengths, k)
+        B2, nw = h.shape
+        B = B2 // 2
+        N = B2 * nw
+        flat = jnp.where(valid.reshape(-1), h.reshape(-1), SENTINEL)
+        lanepos = jax.lax.iota(U32, N)
+        sk, sl = jax.lax.sort((flat, lanepos), num_keys=1)
+        firstm = jnp.concatenate(
+            [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        rank = jnp.cumsum(firstm.astype(I32_)) - 1
+        inv = jnp.zeros(N, I32_).at[sl].set(rank, unique_indices=True)
+        uk = jnp.full(N, SENTINEL, U64).at[
+            jnp.where(firstm, rank, I32_(N))].set(
+            jnp.where(firstm, sk, SENTINEL), mode="drop")
+        pre_u = sketch_get(spec, table, uk).astype(U32)
+        invB = inv.reshape(B, 2, nw)
+        preB = pre_u[inv].reshape(B, 2, nw)
+        validB = valid.reshape(B, 2, nw)
+        realB = real.reshape(B, 2)
+        nrow = jnp.sum(validB.astype(I32_), axis=2)  # [B, 2]
+        ta = trim_at.astype(U32)
+        dc = dn_cov.astype(U32)
+
+        def step(tally, x):
+            # branch tests need only median-vs-threshold comparisons:
+            # sorted-ascending median s[nr//2] >= T iff at least
+            # nr - nr//2 counts are >= T — no in-scan sort (a per-step
+            # [2, nw] sort cost ~0.6 ms on TPU, 2048x per batch)
+            ids, pr, val, rl, nr = x
+            cnt = pr + tally[ids]  # [2, nw]
+            need = nr - nr // 2
+
+            def all_rows_med_ge(T):
+                ge = jnp.sum(((cnt >= T) & val).astype(I32_), axis=1)
+                return jnp.where(rl, ge >= need, True).all()
+
+            if do_normalize:
+                branch = jnp.where(
+                    all_rows_med_ge(dc), I32_(0),
+                    jnp.where(all_rows_med_ge(ta), I32_(1), I32_(2)))
+            else:
+                branch = jnp.where(all_rows_med_ge(ta), I32_(1),
+                                   I32_(2))
+            add = (val & (branch == 2)).astype(U32)
+            tally = tally.at[ids.reshape(-1)].add(add.reshape(-1))
+            return tally, (branch, cnt)
+
+        tally0 = jnp.zeros(N, U32)
+        tally, (branch, cnts) = jax.lax.scan(
+            step, tally0, (invB, preB, validB, realB, nrow))
+
+        # consume the saved bundles' k-mers with the exact claim rule
+        keptlane = valid.reshape(-1) & jnp.repeat(branch == 2, 2 * nw)
+        firsts = jnp.full(N, IDX_SENTINEL, U32).at[inv].min(
+            jnp.where(keptlane, lanepos, IDX_SENTINEL))
+        totals = jnp.minimum(tally, TOTAL_CLAMP)
+        ops = choose_flush_ops(spec, N)
+        table, n_new = ops(spec, table, uk, totals, firsts,
+                           virgin=False, track_bigcount=False)
+        cnts16 = jnp.minimum(cnts, jnp.uint32(0xFFFF)).astype(
+            jnp.uint16).reshape(B2, nw)
+        return table, uniq + n_new, branch, cnts16
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
 def _make_median_at_least_fn(spec, k, hash_kind):
     """Batched median_at_least (hashtable.cc:341-370): per row, true
     when #(counts >= cutoff) >= int(0.5 + n/2)."""
@@ -868,6 +975,80 @@ class Hashtable:
         st._virgin = False
         st.mark_dirty()
         return keeps[: len(seq_pairs)]
+
+    def trim_pass1_batch(self, seq_pairs, trim_at_coverage,
+                         diginorm_coverage=None):
+        """trim-low-abund pass-1 step over a batch of read bundles,
+        entirely on device (_make_trim_pass1_fn).  Returns (branch,
+        counts) as a per-bundle branch array (0 skip / 1 trim / 2
+        saved-and-consumed) and the per-row u16 adjusted counts for
+        the trim branch.  Raises ValueError on a real read shorter
+        than k, matching the host _median."""
+        k = self._ksize
+        rows, real = [], []
+        for s0, s1 in seq_pairs:
+            for s in (s0, s1):
+                if s is None:
+                    rows.append(np.zeros(0, np.uint8))
+                    real.append(False)
+                    continue
+                if len(s) < k:
+                    raise ValueError("no k-mer counts; read too short?")
+                rows.append(self._encode(s))
+                real.append(True)
+        n = len(rows)
+        L = max((r.shape[0] for r in rows), default=1)
+        L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
+        B2 = 2
+        while B2 < n:
+            B2 *= 2
+        data = np.zeros((B2, L), np.uint8)
+        lengths = np.zeros(B2, np.int32)
+        realarr = np.zeros(B2, bool)
+        for i, r in enumerate(rows):
+            data[i, : r.shape[0]] = r
+            lengths[i] = r.shape[0]
+            realarr[i] = real[i]
+        st = self.storage
+        fn = _make_trim_pass1_fn(st._read_spec(), k, self.hash_kind,
+                                 diginorm_coverage is not None)
+        dn = diginorm_coverage if diginorm_coverage is not None else 0
+        st.table, st._n_unique, branch, counts = fn(
+            st.table, st._n_unique, jax.device_put(data),
+            jax.device_put(lengths), jax.device_put(realarr),
+            np.uint32(trim_at_coverage), np.uint32(dn))
+        st._loaded_occupied = None
+        st._virgin = False
+        st.mark_dirty()
+        return branch[: len(seq_pairs)], counts
+
+    def count_rows(self, sequences):
+        """Per-sequence count arrays in ONE device call, fetching
+        counts only (2 B per k-mer; _hash_count_rows fetches 10)."""
+        k = self._ksize
+        enc_rows = [self._encode(s) for s in sequences]
+        n = len(enc_rows)
+        if n == 0:
+            return []
+        L = max(r.shape[0] for r in enc_rows)
+        L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
+        B = 1
+        while B < n:
+            B *= 2
+        data = np.zeros((B, L), np.uint8)
+        lengths = np.zeros(B, np.int32)
+        for i, r in enumerate(enc_rows):
+            data[i, : r.shape[0]] = r
+            lengths[i] = r.shape[0]
+        fn = _make_row_counts_fn(self.storage._read_spec(), k,
+                                 self.hash_kind)
+        counts = np.asarray(fn(self.storage.table, jax.device_put(data),
+                               jax.device_put(lengths)))
+        out = []
+        for i, r in enumerate(enc_rows):
+            w = max(r.shape[0] - k + 1, 0)
+            out.append(counts[i, :w])
+        return out
 
     def get_kmers(self, sequence):
         """All k-mer substrings, in order; too-short sequences raise

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Run several khmer-tpu script invocations in ONE python process.
+"""usage: khmer-run-pipeline.py script.py arg... -- script.py arg... | @stages.txt
+
+Run several khmer-tpu script invocations in ONE python process.
 
 Each CLI script costs ~2-3 s of interpreter + JAX + backend startup,
 and every new process starts with cold in-process jit caches (the
@@ -10,11 +12,7 @@ with shared warm caches — the "reuse one backend across pipeline
 stages" mode (same in-process exec the test runner uses,
 tests/khmer_tst_utils.py runscript).
 
-Usage:
-  khmer-run-pipeline.py script.py arg... -- script.py arg... -- ...
-  khmer-run-pipeline.py @stages.txt      # one stage per line, shell-split
-
-Script names are resolved against this scripts/ directory, then
+With @stages.txt, stages come one per line, shell-split.  Script names are resolved against this scripts/ directory, then
 sandbox/, then as given.  A non-zero stage exit stops the pipeline and
 becomes this process's exit code.  Stage timings go to stderr.
 """
@@ -76,8 +74,15 @@ def run_stage(stage):
 
 def main():
     argv = sys.argv[1:]
-    if not argv or argv[0] in ("-h", "--help"):
-        print(__doc__)
+    if not argv or argv[0] in ("-h", "--help", "--version", "--info"):
+        # behave like every other scripts/ entry point: citation to
+        # stderr on --info/--version/--help (the script sweep test
+        # checks the whole directory)
+        from khmer_tpu import khmer_args
+
+        khmer_args.info(os.path.basename(sys.argv[0]))
+        if not argv or argv[0] in ("-h", "--help"):
+            print(__doc__)
         return 0
     stages = stages_from_argv(argv)
     t0 = time.perf_counter()

@@ -160,61 +160,46 @@ class Trimmer(object):
             pending_hashes.clear()
 
     def _pass1_batch(self, bundles, saver):
+        """Whole batch on device (hashtable.trim_pass1_batch): branch
+        decisions by a sequential scan with an additive tally, saved
+        bundles consumed with the exact n_unique claim rule; only the
+        [B] branch flags and the u16 adjusted counts cross back
+        (round-4 VERDICT #6 pattern)."""
         graph = self.graph
-        trim_at = self.trim_at_coverage
         cutoff = self.cutoff
-        dn_cov = self.diginorm_coverage
         k = graph.ksize()
 
         import numpy as np
 
-        seqs = []
-        spans = []
+        seq_pairs = []
         for bundle in bundles:
-            spans.append((len(seqs), len(seqs) + len(bundle.reads)))
-            seqs.extend(r.cleaned_seq for r in bundle.reads)
-        hc = graph._hash_count_rows(seqs)
-
-        # `tally` = k-mers consumed earlier in this batch (cont.), tracked over
-        # COMPACT in-batch ids: a read's CURRENT count for hash h is
-        # pre_batch(h) + tally(h) — exact, because sketch counts are
-        # additive (and saturated reads compare identically against
-        # the small thresholds).  Whole batch settles host-side.
-        all_h = np.concatenate([r for r, _ in hc]) if hc else \
-            np.zeros(0, np.uint64)
-        uniq, inv = np.unique(all_h, return_inverse=True)
-        tally = np.zeros(uniq.shape[0], np.int64)
-        offs = np.cumsum([0] + [r.size for r, _ in hc])
-        pending_hashes = []
+            r0 = bundle.reads[0].cleaned_seq
+            r1 = bundle.reads[1].cleaned_seq if len(bundle.reads) > 1 \
+                else None
+            seq_pairs.append((r0, r1))
+        branch, counts = graph.trim_pass1_batch(
+            seq_pairs, self.trim_at_coverage,
+            self.diginorm_coverage if self.do_normalize else None)
+        branch = np.asarray(branch)
+        counts = np.asarray(counts)
         for i, bundle in enumerate(bundles):
             self.n_reads += bundle.num_reads
             self.n_bp += bundle.total_length
-            lo, hi = spans[i]
-            rows = [(hc[j][0],
-                     (hc[j][1].astype(np.int64)
-                      + tally[inv[offs[j]: offs[j + 1]]]))
-                    for j in range(lo, hi)]
-
-            min_coverage = min(self._median(c) for _, c in rows)
-
-            if self.do_normalize and min_coverage >= dn_cov:
+            if branch[i] == 0:           # diginorm skip
                 continue
-
-            if min_coverage >= trim_at:
-                for read, (_, counts) in zip(bundle.reads, rows):
+            if branch[i] == 1:           # at coverage: trim now
+                for j, read in enumerate(bundle.reads):
+                    w = len(read.cleaned_seq) - k + 1
                     record, did_trim = trim_record_from_counts(
-                        k, read, counts, cutoff)
+                        k, read, counts[2 * i + j, :w], cutoff)
                     if did_trim:
                         self.trimmed_reads += 1
                     if record:
                         yield record
-            else:
-                for read, j in zip(bundle.reads, range(lo, hi)):
-                    pending_hashes.append(hc[j][0])
-                    np.add.at(tally, inv[offs[j]: offs[j + 1]], 1)
+            else:                        # saved (consumed on device)
+                for read in bundle.reads:
                     write_record(read, saver)
                     self.n_saved += 1
-        self._flush(pending_hashes)
 
     def pass1(self, reader, saver):
         batch = []
@@ -236,16 +221,16 @@ class Trimmer(object):
         for bundle in bundles:
             spans.append((len(seqs), len(seqs) + len(bundle.reads)))
             seqs.extend(r.cleaned_seq for r in bundle.reads)
-        hc = graph._hash_count_rows(seqs)
+        hc = graph.count_rows(seqs)
 
         for bundle, (lo, hi) in zip(bundles, spans):
             self.n_reads += bundle.num_reads
             self.n_bp += bundle.total_length
             rows = hc[lo:hi]
             at_cov = all(
-                self._median(c) >= self.trim_at_coverage for _, c in rows)
+                self._median(c) >= self.trim_at_coverage for c in rows)
             if self.do_trim_low_abund or at_cov:
-                for read, (_, counts) in zip(bundle.reads, rows):
+                for read, counts in zip(bundle.reads, rows):
                     trimmed_record, did_trim = trim_record_from_counts(
                         k, read, counts, self.cutoff)
                     if did_trim:
