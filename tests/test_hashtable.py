@@ -225,11 +225,11 @@ def test_consume_seqfile_with_mask(tmp_path):
 
 def test_ledger_overflow_count_exactness(monkeypatch, tmp_path):
     """Forcing the deferred counter's ledger to overflow mid-consume
-    (tiny KHMER_TPU_DEFER_CAP/KHMER_TPU_CHUNK) must leave the counted
-    table bit-identical to the single-flush path — overflow degrades
-    flush batching and the n_unique estimator's semantics (it becomes
-    the reference's incremental is-new test, storage.hh:575-628),
-    never the counts."""
+    (tiny KHMER_TPU_DEFER_CAP/KHMER_TPU_CHUNK) must leave BOTH the
+    counted table AND n_unique bit-identical to the single-flush
+    path: multi-flush claims are exact because keys flush in
+    first-occurrence order, so later flushes see earlier claimants as
+    pre-count > 0 (ops/deferred.py docstring)."""
     rng = np.random.default_rng(99)
     lut = np.frombuffer(b"ACGT", np.uint8)
     fa = tmp_path / "reads.fa"
@@ -255,10 +255,8 @@ def test_ledger_overflow_count_exactness(monkeypatch, tmp_path):
     # overflow path must actually have engaged for this test to mean
     # anything
     assert full.n_unique_kmers() > 140_000
-    # overflow n_unique = incremental estimator: <= exact, close at
-    # this load factor
-    assert tiny.n_unique_kmers() <= full.n_unique_kmers()
-    assert tiny.n_unique_kmers() > 0.9 * full.n_unique_kmers()
+    # round 4: multi-flush n_unique is EXACT, not merely close
+    assert tiny.n_unique_kmers() == full.n_unique_kmers()
 
 
 def test_merge_cycle_size_invariance(monkeypatch, tmp_path):
