@@ -1269,13 +1269,16 @@ class Hashtable:
         # a ~0.2 s fixed round-trip cost on tunneled devices, while a
         # BATCHED put of several buffers pays it once and streams the
         # bytes in the background (measured: 8x3MB puts 1.9 s vs one
-        # batched put 0.03 s enqueue)
+        # batched put 0.03 s enqueue).  The batch RAMPS 1 -> 2 -> 4 so
+        # the device starts on chunk 1 instead of idling behind the
+        # host's read+pack of a full batch (measured 0.47 s head).
         PUT_BATCH = 4
 
         def produce():
             import time as _t
 
             pend = []
+            batch = 1
 
             def flush_pend():
                 t1 = _t.perf_counter()
@@ -1296,8 +1299,9 @@ class Hashtable:
 
                     STAGE_TIMES["pack"] += _t.perf_counter() - t0
                     STAGE_LANES["pack"] += int(data.shape[0])
-                if len(pend) >= PUT_BATCH:
+                if len(pend) >= batch:
                     yield from flush_pend()
+                    batch = min(batch * 2, PUT_BATCH)
             if pend:
                 yield from flush_pend()
 

@@ -79,8 +79,19 @@ TOTAL_CLAMP = np.uint32(1 << 20)
 # largest flush window (device scatter granularity).  Windows are
 # EXACT: the pre-window sort orders distinct keys by first occurrence,
 # so window j+1 sees window j's scatters as pre-count > 0 — the same
-# state the reference's serial loop would be in.
-FLUSH_SLICE = 1 << 23
+# state the reference's serial loop would be in.  A single window also
+# skips the order-restoring sort entirely, so the ceiling is high on
+# accelerators (peak transient: ~3 u64 sort arrays of this length).
+# Resolved lazily — jax.default_backend() initializes the backend, and
+# importing khmer_tpu must stay cheap for early-bailing CLI scripts.
+
+
+@lru_cache(maxsize=None)
+def flush_slice():
+    env = os.environ.get("KHMER_TPU_FLUSH_LOG")
+    if env:
+        return 1 << int(env)
+    return 1 << (23 if jax.default_backend() == "cpu" else 25)
 # smallest buffer/bucket granule: one hash-kernel row of lanes
 MIN_BUCKET = 1 << 14
 # buffer sizing hint for the sharded consumer's per-shard cap
@@ -694,10 +705,14 @@ class DeferredCounter:
         Oversized flushes split into first-occurrence-ordered windows
         (exact; module docstring).  Subclasses override _flush_windows
         for different flush-time accounting (abundance_distribution)."""
-        F = min(max(_next_pow2(max(n, 1)), MIN_BUCKET), FLUSH_SLICE,
+        F = min(max(_next_pow2(max(n, 1)), MIN_BUCKET), flush_slice(),
                 int(mk.shape[0]))
         if n > F:
-            mk, mw, mf = _sort_by_first(mk, mw, mf)
+            # order-restoring sort over the OCCUPIED prefix only — the
+            # combine compacted the n distinct lanes to the front, so
+            # the pow2 cover of n is enough (the tail is SENTINEL)
+            P = min(max(_next_pow2(n), MIN_BUCKET), int(mk.shape[0]))
+            mk, mw, mf = _sort_by_first(mk[:P], mw[:P], mf[:P])
         self._flush_windows(mk, mw, mf, n, F)
 
     def _flush_windows(self, mk, mw, mf, n, F):

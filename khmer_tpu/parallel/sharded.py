@@ -541,7 +541,7 @@ class ShardedDeferredConsumer:
         # power-of-two per-shard cap: any power-of-two flush window
         # tiles it exactly, so merge/flush buckets can track `fill`
         self.cap = dfr._next_pow2(max(int(cap), 2 * self.chunk_lanes))
-        self.max_flush = min(dfr.FLUSH_SLICE, self.cap)
+        self.max_flush = min(dfr.flush_slice(), self.cap)
         self._append = make_sharded_append_step(
             k, hash_kind, self.mesh, chunk, self.cap)
         self._reduce = make_partials_reduce(self.mesh)
