@@ -634,10 +634,12 @@ class ShardedDeferredConsumer:
         else:
             packed = jax.device_put(
                 stack.reshape(self.D, self.S, packed_len), self.lane_sh)
-        with stage("shard-append", lanes=self.chunk_lanes):
+        with stage("shard-append", lanes=self.chunk_lanes) as _s:
             self.keys, self.idx, self.consumed = self._append(
                 self.keys, self.idx, jnp.int32(self.fill),
                 jnp.int32(self.batch), self.consumed, packed)
+            if _s is not None:
+                _s.sync = self.consumed
         self.fill += self.chunk_lanes
         self.batch += 1
 
@@ -650,10 +652,12 @@ class ShardedDeferredConsumer:
                      self.cap)
         step = make_sharded_merge_step(self.mesh, self.survivors == 0,
                                        bucket)
-        with stage("shard-merge", lanes=bucket):
+        with stage("shard-merge", lanes=bucket) as _s:
             self.keys, self.wgts, self.idx, nv = step(
                 self.keys, self.wgts, self.idx,
                 jnp.int32(self.survivors))
+            if _s is not None:
+                _s.sync = nv
         self.fill = int(np.asarray(self._max(nv)))
         self.survivors = self.fill
         self._merge_at = min(max(dfr.MIN_MERGE, 2 * self.fill), self.cap)
@@ -722,10 +726,12 @@ class ShardedDeferredConsumer:
             woff = jnp.int32(off)
             while True:
                 self._ledger_room(loff + block)
-                with stage("shard-route", lanes=block):
+                with stage("shard-route", lanes=block) as _s:
                     out = step(self.ledger_k, self.ledger_w,
                                self.ledger_f, keys, wgts, idxs,
                                woff, jnp.int32(loff))
+                    if _s is not None:
+                        _s.sync = out[-1]
                 (self.ledger_k, self.ledger_w, self.ledger_f,
                  keys, wgts, idxs, n_left) = out
                 self.routed_bytes += block * 16
@@ -744,10 +750,12 @@ class ShardedDeferredConsumer:
         bucket = min(max(dfr._next_pow2(self.ledger_fill),
                          dfr.MIN_BUCKET), self.ledger_cap)
         merge = make_sharded_merge_step(self.mesh, False, bucket)
-        with stage("shard-owner-combine", lanes=bucket):
+        with stage("shard-owner-combine", lanes=bucket) as _s:
             ok, ow, of, nv = merge(self.ledger_k, self.ledger_w,
                                    self.ledger_f,
                                    jnp.int32(self.ledger_fill))
+            if _s is not None:
+                _s.sync = nv
         self.ledger_k = None
         self.ledger_w = None
         self.ledger_f = None
@@ -759,8 +767,10 @@ class ShardedDeferredConsumer:
             base_args = (jax.device_put(
                 base_table, NamedSharding(self.mesh, P())),)
         claims = make_claims_step(self.spec, self.mesh, bool(virgin))
-        with stage("shard-claims", lanes=int(ok.shape[-1])):
+        with stage("shard-claims", lanes=int(ok.shape[-1])) as _s:
             self.uniq = claims(self.uniq, ok, ow, of, *base_args)
+            if _s is not None:
+                _s.sync = self.uniq
         # -- one flush per partial table -------------------------------------
         Fw = min(max(dfr._next_pow2(max(n_max, 1)), dfr.MIN_BUCKET),
                  self.max_flush, int(ok.shape[-1]))
@@ -769,8 +779,10 @@ class ShardedDeferredConsumer:
         flush = make_sharded_flush_step(self.spec, self.mesh, Fw,
                                         bool(virgin), self._track_bigcount)
         for off in range(0, max(n_max, 1), Fw):
-          with stage("shard-flush", lanes=Fw * self.spec.n_tables):
+          with stage("shard-flush", lanes=Fw * self.spec.n_tables) as _s:
             out = flush(self.tables, ok, ow, jnp.int32(off), *bc_base)
+            if _s is not None:
+                _s.sync = out[0]
             self.tables = out[0]
             if self._track_bigcount:
                 self._bc_pending.append((out[1], out[2]))

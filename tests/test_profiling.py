@@ -72,3 +72,24 @@ def test_hooks_off_by_default(tmpdir):
     # no stray trace/timing artifacts when the env gates are unset
     _run({}, tmpdir)
     assert not os.path.exists(str(tmpdir / "plugins"))
+
+
+def test_flush_log_env_reread_and_validated(monkeypatch):
+    """KHMER_TPU_FLUSH_LOG is re-read on every call (round-4 ADVICE:
+    an lru_cache made later changes silently ignored) and validated
+    with an error naming the variable."""
+    from khmer_tpu.ops import deferred
+
+    monkeypatch.delenv("KHMER_TPU_FLUSH_LOG", raising=False)
+    default = deferred.flush_slice()
+    assert default == 1 << deferred._default_flush_log()
+    monkeypatch.setenv("KHMER_TPU_FLUSH_LOG", "16")
+    assert deferred.flush_slice() == 1 << 16
+    monkeypatch.setenv("KHMER_TPU_FLUSH_LOG", "17")
+    assert deferred.flush_slice() == 1 << 17  # change takes effect
+    for bad in ("banana", "7", "99"):
+        monkeypatch.setenv("KHMER_TPU_FLUSH_LOG", bad)
+        with pytest.raises(ValueError, match="KHMER_TPU_FLUSH_LOG"):
+            deferred.flush_slice()
+    monkeypatch.delenv("KHMER_TPU_FLUSH_LOG")
+    assert deferred.flush_slice() == default
