@@ -321,6 +321,71 @@ class SubsetPartition:
             for ppi in ppis:
                 self.assign_partition_id(ppi.kmer, ppi.tagged_kmers)
 
+    def do_partition_device(self, break_on_stop_tags=False,
+                            stop_big_traversals=False, batch=2048,
+                            mesh=None):
+        """North-star alternative engine (khmer_tpu/partition_device):
+        discovery emits a device-resident star edge list (seed tag ->
+        every tag its bounded BFS reaches), then connected components
+        run ON DEVICE by min-label propagation + pointer jumping to
+        fixpoint — no host union-find.  With `mesh`, the edge list is
+        sharded and labels min-all-reduce across devices each round.
+
+        Produces the same partitions AS SETS OF TAGS as do_partition
+        (equivalence: tests/test_partition_device.py); partition ids
+        are assigned in first-seed order, which matches the
+        reference's fresh-assignment order but can renumber merge
+        chains — pmap BYTE parity stays with do_partition
+        (subset.cc:774-845 discussion in partition_device docstring).
+        """
+        from khmer_tpu.partition_device import (connected_components,
+                                                connected_components_sharded)
+
+        tags = sorted(self.graph.all_tags)
+        tag_index = {t: i for i, t in enumerate(tags)}
+        n = len(tags)
+        src, dst = [], []
+        seeded = np.zeros(n, bool)
+        for i in range(0, n, batch):
+            ppis = self.find_all_tags_batch(
+                tags[i: i + batch], break_on_stop_tags,
+                stop_big_traversals)
+            for ppi in ppis:
+                if not ppi.tagged_kmers:
+                    continue
+                si = tag_index[int(ppi.kmer)]
+                seeded[si] = True
+                for t in ppi.tagged_kmers:
+                    ti = tag_index[int(t)]
+                    seeded[ti] = True
+                    src.append(si)
+                    dst.append(ti)
+        if src:
+            if mesh is not None:
+                labels = connected_components_sharded(mesh, n, src, dst)
+            else:
+                labels = connected_components(
+                    n, np.asarray(src, np.uint32),
+                    np.asarray(dst, np.uint32))
+            labels = np.asarray(labels)
+        else:
+            labels = np.arange(n, dtype=np.uint32)
+        # label -> partition id in first-seed order (reference
+        # assigns fresh ids as seeds are processed, subset.cc:85);
+        # unseeded tags stay absent — count_partitions inserts their
+        # null entries lazily, exactly like the host engine
+        pid_of = {}
+        for i in range(n):
+            if not seeded[i]:
+                continue
+            root = int(labels[i])
+            pid = pid_of.get(root)
+            if pid is None:
+                pid = self._new_pid()
+                pid_of[root] = pid
+            self.partition_map[tags[i]] = pid
+            self._rev[pid].add(tags[i])
+
     def do_partition_with_abundance(self, first_kmer=0, last_kmer=0,
                                     min_count=0, max_count=0xFFFF,
                                     break_on_stop_tags=False,
