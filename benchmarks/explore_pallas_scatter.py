@@ -76,20 +76,8 @@ def _make_pallas_scatter(body, B, N, BLK, U, max_win):
             @pl.when(w < nw)
             def _():
                 row = w0 + w
-                cp1 = pltpu.make_async_copy(
-                    idx_ref.at[pl.ds(row, 1), :], uidx, sem1)
-                cp2 = pltpu.make_async_copy(
-                    val_ref.at[pl.ds(row, 1), :], uval, sem2)
-                cp1.start()
-                cp2.start()
-                cp1.wait()
-                cp2.wait()
-                local = uidx[0, :] - base
-                inblk = (local >= 0) & (local < BLK)
-                body(acc,
-                     jnp.where(inblk, local, BLK).astype(jnp.int32),
-                     jnp.where(inblk, uval[0, :], 0), inblk, BCOL,
-                     sidx, sval)
+                body(acc, base, BLK, BCOL, idx_ref, val_ref, row,
+                     uidx, uval, sidx, sval, sem1, sem2)
             return 0
 
         jax.lax.fori_loop(0, max_win, win, 0)
@@ -144,45 +132,84 @@ def _make_pallas_scatter(body, B, N, BLK, U, max_win):
     return run
 
 
-def body_vscatter(acc, local, vals, inblk, BCOL, sidx, sval):
+def _window_vmem(idx_ref, val_ref, row, uidx, uval, sem1, sem2):
+    cp1 = pltpu.make_async_copy(idx_ref.at[pl.ds(row, 1), :], uidx,
+                                sem1)
+    cp2 = pltpu.make_async_copy(val_ref.at[pl.ds(row, 1), :], uval,
+                                sem2)
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+
+def body_vscatter(acc, base, BLK, BCOL, idx_ref, val_ref, row,
+                  uidx, uval, sidx, sval, sem1, sem2):
     # vector dynamic-index accumulate; valid lanes hit unique bins,
     # invalid lanes all hit the trash strip with val 0
-    r = local // BCOL          # invalid lanes: local == 8*BCOL -> r=8?
-    r = jnp.minimum(r, 7)      # ...clamp to row 7, col BCOL+ trash
+    _window_vmem(idx_ref, val_ref, row, uidx, uval, sem1, sem2)
+    local = uidx[0, :] - base
+    inblk = (local >= 0) & (local < BLK)
+    local = jnp.where(inblk, local, BLK)
+    vals = jnp.where(inblk, uval[0, :], 0)
+    r = jnp.minimum(local // BCOL, 7)
     c = local - r * BCOL
     cur = acc[r, c]
     acc[r, c] = cur + vals
 
 
-def body_loop(acc, local, vals, inblk, BCOL, sidx, sval):
-    # scalar dynamic indexing needs SMEM-resident operands
-    U = local.shape[0]
-    sidx[...] = local.reshape(sidx.shape)
-    sval[...] = vals.reshape(sval.shape)
+def body_loop(acc, base, BLK, BCOL, idx_ref, val_ref, row,
+              uidx, uval, sidx, sval, sem1, sem2):
+    # scalar dynamic indexing: operands DMA'd straight into SMEM
+    cp1 = pltpu.make_async_copy(idx_ref.at[pl.ds(row, 1), :], sidx,
+                                sem1)
+    cp2 = pltpu.make_async_copy(val_ref.at[pl.ds(row, 1), :], sval,
+                                sem2)
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+    U = sidx.shape[1]
 
     def one(u, _):
-        b = sidx[0, u]
-        r = jnp.minimum(b // BCOL, 7)
-        c = b - r * BCOL
-        acc[r, c] = acc[r, c] + sval[0, u]
+        b = sidx[0, u] - base
+
+        @pl.when((b >= 0) & (b < BLK))
+        def _():
+            r = b // BCOL
+            c = b - r * BCOL
+            acc[r, c] = acc[r, c] + sval[0, u]
         return 0
 
     jax.lax.fori_loop(0, U, one, 0)
 
 
-def make_body_compare(BLK, U, CH=8):
-    def body(acc, local, vals, inblk, BCOL, sidx, sval):
+def make_body_compare(BLK_, U, CH=8):
+    def body(acc, base, BLK, BCOL, idx_ref, val_ref, row,
+             uidx, uval, sidx, sval, sem1, sem2):
+        _window_vmem(idx_ref, val_ref, row, uidx, uval, sem1, sem2)
+        local = uidx[0, :] - base
+        inblk = (local >= 0) & (local < BLK)
+        local = jnp.where(inblk, local, BLK).astype(jnp.int32)
+        vals = jnp.where(inblk, uval[0, :].astype(jnp.int32), 0)
         bin2d = (jax.lax.broadcasted_iota(jnp.int32, (8, BCOL), 0) * BCOL
                  + jax.lax.broadcasted_iota(jnp.int32, (8, BCOL), 1))
-        a = acc[:, :BCOL]
-        for c in range(U // CH):
-            lc = local[c * CH:(c + 1) * CH]
-            vc = vals[c * CH:(c + 1) * CH]
-            eq = bin2d[None, :, :] == lc[:, None, None]
-            a = a + jnp.sum(
-                jnp.where(eq, vc[:, None, None], jnp.uint32(0)), axis=0,
-                dtype=jnp.uint32)
-        acc[:, :BCOL] = a
+        a = acc[:, :BCOL].astype(jnp.int32)
+        if CH == 1:
+            # pure-2D variant: one broadcast compare per update
+            for u in range(U):
+                b = local[u]
+                v = vals[u]
+                a = a + jnp.where(bin2d == b, v, 0)
+        else:
+            for c in range(U // CH):
+                lc = local[c * CH:(c + 1) * CH]
+                vc = vals[c * CH:(c + 1) * CH]
+                eq = bin2d[None, :, :] == lc[:, None, None]
+                a = a + jnp.sum(
+                    jnp.where(eq, vc[:, None, None], 0), axis=0,
+                    dtype=jnp.int32)
+        acc[:, :BCOL] = a.astype(jnp.uint32)
 
     return body
 
@@ -216,6 +243,7 @@ def main(small=False):
         ("pal_vscatter", body_vscatter),
         ("pal_loop", body_loop),
         ("pal_compare", make_body_compare(BLK, U)),
+        ("pal_compare_2d", make_body_compare(BLK, U, CH=1)),
     ]:
         try:
             run = _make_pallas_scatter(body, Bp, N, BLK, U, max_win)
