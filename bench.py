@@ -334,6 +334,21 @@ def main():
             kmer_hash_gbps=round(max(hash_trials), 3),
             hash_trials_gbps=[round(t, 3) for t in hash_trials])
 
+    if trials and _remaining() > 15:
+        # measured h2d link rate, recorded so the headline can be
+        # read fairly: at the 0.375 B/base packing ratio the consume
+        # ceiling is ~link/0.375 — on 2026-08-20 the tunnel measured
+        # 8-11 MB/s (making 30 MB/s consume wire-bound) vs the
+        # 40-76 MB/s it gave in round 4
+        probe = np.random.default_rng(7).integers(
+            0, 255, 6_000_000, dtype=np.uint8)
+        d = jax.device_put(probe)
+        np.asarray(d[0:1])
+        t0 = time.perf_counter()
+        d = jax.device_put(probe)
+        np.asarray(d[0:1])
+        _update_best(h2d_mbps=round(6.0 / (time.perf_counter() - t0), 1))
+
     warm = trials[1:]
     converged = (len(warm) >= 2 and abs(warm[-1] - warm[-2]) <=
                  0.1 * max(warm[-1], warm[-2]))

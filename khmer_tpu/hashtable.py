@@ -944,33 +944,39 @@ class Hashtable:
         the per-bundle keep flags as a device array — fetch lazily.
 
         seq_pairs: list of (seq0, seq1_or_None) cleaned sequences."""
+        from khmer_tpu.ops.deferred import stage
+
         k = self._ksize
-        rows, real = [], []
-        for s0, s1 in seq_pairs:
-            rows.append(self._encode(s0))
-            real.append(True)
-            rows.append(self._encode(s1) if s1 is not None
-                        else np.zeros(0, np.uint8))
-            real.append(s1 is not None)
-        n = len(rows)
-        L = max((r.shape[0] for r in rows), default=1)
-        L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
-        B2 = 2
-        while B2 < n:
-            B2 *= 2
-        data = np.zeros((B2, L), np.uint8)
-        lengths = np.zeros(B2, np.int32)
-        realarr = np.zeros(B2, bool)
-        for i, r in enumerate(rows):
-            data[i, : r.shape[0]] = r
-            lengths[i] = r.shape[0]
-            realarr[i] = real[i]
+        with stage("dn-pack", lanes=len(seq_pairs)):
+            rows, real = [], []
+            for s0, s1 in seq_pairs:
+                rows.append(self._encode(s0))
+                real.append(True)
+                rows.append(self._encode(s1) if s1 is not None
+                            else np.zeros(0, np.uint8))
+                real.append(s1 is not None)
+            n = len(rows)
+            L = max((r.shape[0] for r in rows), default=1)
+            L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
+            B2 = 2
+            while B2 < n:
+                B2 *= 2
+            data = np.zeros((B2, L), np.uint8)
+            lengths = np.zeros(B2, np.int32)
+            realarr = np.zeros(B2, bool)
+            for i, r in enumerate(rows):
+                data[i, : r.shape[0]] = r
+                lengths[i] = r.shape[0]
+                realarr[i] = real[i]
         st = self.storage
         fn = _make_diginorm_fn(st._read_spec(), k, self.hash_kind)
-        st.table, st._n_unique, keeps = fn(
-            st.table, st._n_unique, jax.device_put(data),
-            jax.device_put(lengths), jax.device_put(realarr),
-            np.uint32(desired_coverage))
+        with stage("dn-batch", lanes=n) as _s:
+            st.table, st._n_unique, keeps = fn(
+                st.table, st._n_unique, jax.device_put(data),
+                jax.device_put(lengths), jax.device_put(realarr),
+                np.uint32(desired_coverage))
+            if _s is not None:
+                _s.sync = keeps
         st._loaded_occupied = None
         st._virgin = False
         st.mark_dirty()
@@ -984,39 +990,46 @@ class Hashtable:
         saved-and-consumed) and the per-row u16 adjusted counts for
         the trim branch.  Raises ValueError on a real read shorter
         than k, matching the host _median."""
+        from khmer_tpu.ops.deferred import stage
+
         k = self._ksize
-        rows, real = [], []
-        for s0, s1 in seq_pairs:
-            for s in (s0, s1):
-                if s is None:
-                    rows.append(np.zeros(0, np.uint8))
-                    real.append(False)
-                    continue
-                if len(s) < k:
-                    raise ValueError("no k-mer counts; read too short?")
-                rows.append(self._encode(s))
-                real.append(True)
-        n = len(rows)
-        L = max((r.shape[0] for r in rows), default=1)
-        L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
-        B2 = 2
-        while B2 < n:
-            B2 *= 2
-        data = np.zeros((B2, L), np.uint8)
-        lengths = np.zeros(B2, np.int32)
-        realarr = np.zeros(B2, bool)
-        for i, r in enumerate(rows):
-            data[i, : r.shape[0]] = r
-            lengths[i] = r.shape[0]
-            realarr[i] = real[i]
+        with stage("trim-pack", lanes=len(seq_pairs)):
+            rows, real = [], []
+            for s0, s1 in seq_pairs:
+                for s in (s0, s1):
+                    if s is None:
+                        rows.append(np.zeros(0, np.uint8))
+                        real.append(False)
+                        continue
+                    if len(s) < k:
+                        raise ValueError(
+                            "no k-mer counts; read too short?")
+                    rows.append(self._encode(s))
+                    real.append(True)
+            n = len(rows)
+            L = max((r.shape[0] for r in rows), default=1)
+            L = max(1 << (max(L - 1, 1)).bit_length(), 64) + k
+            B2 = 2
+            while B2 < n:
+                B2 *= 2
+            data = np.zeros((B2, L), np.uint8)
+            lengths = np.zeros(B2, np.int32)
+            realarr = np.zeros(B2, bool)
+            for i, r in enumerate(rows):
+                data[i, : r.shape[0]] = r
+                lengths[i] = r.shape[0]
+                realarr[i] = real[i]
         st = self.storage
         fn = _make_trim_pass1_fn(st._read_spec(), k, self.hash_kind,
                                  diginorm_coverage is not None)
         dn = diginorm_coverage if diginorm_coverage is not None else 0
-        st.table, st._n_unique, branch, counts = fn(
-            st.table, st._n_unique, jax.device_put(data),
-            jax.device_put(lengths), jax.device_put(realarr),
-            np.uint32(trim_at_coverage), np.uint32(dn))
+        with stage("trim-pass1", lanes=n) as _s:
+            st.table, st._n_unique, branch, counts = fn(
+                st.table, st._n_unique, jax.device_put(data),
+                jax.device_put(lengths), jax.device_put(realarr),
+                np.uint32(trim_at_coverage), np.uint32(dn))
+            if _s is not None:
+                _s.sync = branch
         st._loaded_occupied = None
         st._virgin = False
         st.mark_dirty()
@@ -1042,8 +1055,12 @@ class Hashtable:
             lengths[i] = r.shape[0]
         fn = _make_row_counts_fn(self.storage._read_spec(), k,
                                  self.hash_kind)
-        counts = np.asarray(fn(self.storage.table, jax.device_put(data),
-                               jax.device_put(lengths)))
+        from khmer_tpu.ops.deferred import stage
+
+        with stage("count-rows", lanes=n):
+            counts = np.asarray(fn(self.storage.table,
+                                   jax.device_put(data),
+                                   jax.device_put(lengths)))
         out = []
         for i, r in enumerate(enc_rows):
             w = max(r.shape[0] - k + 1, 0)
