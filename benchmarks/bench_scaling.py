@@ -37,8 +37,11 @@ n = int(sys.argv[1]); path = sys.argv[2]; tout = sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d" % max(n, 1)
 os.environ["KHMER_TPU_PLATFORM"] = "cpu"
 os.environ["KHMER_TPU_SHARDED"] = "1" if n > 1 else "0"
-os.environ["KHMER_TPU_TIMING"] = "1"
-os.environ["KHMER_TPU_TIMING_OUT"] = tout
+# PASS 1 (the wall): timing hooks OFF — since round 5 the hooks
+# block on every stage's output for attribution, which serializes
+# the async dispatch pipeline; walls must come from the overlapped
+# program users actually run
+os.environ["KHMER_TPU_TIMING"] = "0"
 import numpy as np
 import khmer_tpu as khmer
 
@@ -53,7 +56,24 @@ stats = {}
 if n > 1:
     from khmer_tpu.parallel.sharded import LAST_CONSUME_STATS
     stats = dict(LAST_CONSUME_STATS)
+
+# PASS 2 (the attribution): same consume with the output-synced
+# stage hooks; its (serialized) wall is reported separately
+from khmer_tpu.ops import deferred as dfr
+dfr._TIMING = True
+dfr.reset_stage_times()
+cg2 = khmer.Countgraph(20, 2_000_003, 4)
+t0 = time.perf_counter()
+cg2.consume_seqfile(path)
+u2 = cg2.n_unique_kmers()
+dt2 = time.perf_counter() - t0
+assert u2 == u
+with open(tout, "w") as f:
+    json.dump({"times_s": {k: round(v, 4)
+                           for k, v in dfr.STAGE_TIMES.items()},
+               "lanes": dict(dfr.STAGE_LANES)}, f)
 print(json.dumps({"devices": n, "seconds": round(dt, 3),
+                  "timed_pass_seconds": round(dt2, 3),
                   "n_unique": int(u),
                   "table_sum": int(tbl.astype(np.uint64).sum()),
                   "table_hash": zlib.crc32(tbl.tobytes()),
