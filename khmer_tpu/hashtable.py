@@ -355,7 +355,6 @@ def _make_hashes_fn(k, hash_kind):
 
 
 @lru_cache(maxsize=None)
-@lru_cache(maxsize=None)
 def _make_abund_flush_fn(main_spec, tracking_spec):
     """Abundance-dist flush over DISTINCT lanes (deferred-cycle
     variant of _make_abund_dist_fn): gathers against the main and
@@ -497,7 +496,7 @@ def _make_row_counts_fn(spec, k, hash_kind):
 
 
 @lru_cache(maxsize=None)
-def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize):
+def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize, L=None):
     """Whole-batch trim-low-abund PASS 1 in one dispatch (reference
     trim-low-abund.py:170-283 semantics, round-4 device port like
     _make_diginorm_fn): per bundle, the minimum over reads of the true
@@ -511,14 +510,24 @@ def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize):
     Only the [B] branch flags and the u16 adjusted counts cross back.
 
     fn(table, uniq, data[B2,L], lengths[B2], real[B2], trim_at,
-       dn_cov) -> (table, uniq, branch[B], counts[B2, nw] u16)"""
+       dn_cov, cutoff) -> (table, uniq, branch[B], first_bad[B2] i32)
+
+    first_bad is each row's FIRST window whose scan-time adjusted
+    count is < cutoff (nw when none) — the only per-window quantity
+    trim_record needs (trimming.trim_record_from_first_bad), so the
+    per-batch fetch is [B2] i32 instead of the [B2, nw] u16 count
+    matrix (8.6 MB -> 128 KB per 16K-pair batch; the count fetch was
+    ~40% of trim-low-abund's wall over a 10 MB/s link, round 5)."""
     from khmer_tpu.ops.deferred import (IDX_SENTINEL, SENTINEL,
                                         TOTAL_CLAMP, choose_flush_ops)
 
     I32_ = jnp.int32
     CMAX = jnp.uint32(0xFFFFFFFF)
 
-    def fn(table, uniq, data, lengths, real, trim_at, dn_cov):
+    def fn(table, uniq, data, lengths, real, trim_at, dn_cov,
+           cutoff):
+        if L is not None:
+            data = _unpack_rows_2bit(data, L)
         if hash_kind == "2bit":
             h, valid = kmer_hashes_2bit(data, lengths, k)
         else:
@@ -536,7 +545,8 @@ def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize):
         uk = jnp.full(N, SENTINEL, U64).at[
             jnp.where(firstm, rank, I32_(N))].set(
             jnp.where(firstm, sk, SENTINEL), mode="drop")
-        pre_u = sketch_get(spec, table, uk).astype(U32)
+        n_distinct = rank[-1] + 1
+        pre_u = _windowed_sketch_get(spec, table, uk, n_distinct)
         invB = inv.reshape(B, 2, nw)
         preB = pre_u[inv].reshape(B, 2, nw)
         validB = valid.reshape(B, 2, nw)
@@ -544,6 +554,7 @@ def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize):
         nrow = jnp.sum(validB.astype(I32_), axis=2)  # [B, 2]
         ta = trim_at.astype(U32)
         dc = dn_cov.astype(U32)
+        co = cutoff.astype(U32)
 
         def step(tally, x):
             # branch tests need only median-vs-threshold comparisons:
@@ -567,23 +578,26 @@ def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize):
                                    I32_(2))
             add = (val & (branch == 2)).astype(U32)
             tally = tally.at[ids.reshape(-1)].add(add.reshape(-1))
-            return tally, (branch, cnt)
+            wi = jax.lax.broadcasted_iota(I32_, cnt.shape, 1)
+            fb = jnp.min(jnp.where((cnt < co) & val, wi, I32_(nw)),
+                         axis=1)
+            return tally, (branch, fb)
 
         tally0 = jnp.zeros(N, U32)
-        tally, (branch, cnts) = jax.lax.scan(
-            step, tally0, (invB, preB, validB, realB, nrow))
+        # unroll amortizes the TPU while-loop's per-iteration fixed
+        # cost (~100us/bundle measured round 5 -- the whole wall of
+        # trim/diginorm at stamps scale) over 8 bundles per step
+        tally, (branch, fbad) = jax.lax.scan(
+            step, tally0, (invB, preB, validB, realB, nrow), unroll=8)
 
         # consume the saved bundles' k-mers with the exact claim rule
         keptlane = valid.reshape(-1) & jnp.repeat(branch == 2, 2 * nw)
         firsts = jnp.full(N, IDX_SENTINEL, U32).at[inv].min(
             jnp.where(keptlane, lanepos, IDX_SENTINEL))
         totals = jnp.minimum(tally, TOTAL_CLAMP)
-        ops = choose_flush_ops(spec, N)
-        table, n_new = ops(spec, table, uk, totals, firsts,
-                           virgin=False, track_bigcount=False)
-        cnts16 = jnp.minimum(cnts, jnp.uint32(0xFFFF)).astype(
-            jnp.uint16).reshape(B2, nw)
-        return table, uniq + n_new, branch, cnts16
+        table, n_new = _windowed_claim_flush(spec, table, uk, totals,
+                                             firsts)
+        return table, uniq + n_new, branch, fbad.reshape(B2)
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -608,8 +622,98 @@ def _make_median_at_least_fn(spec, k, hash_kind):
     return jax.jit(fn)
 
 
+def _pack_rows_2bit(data):
+    """Host-side 4-per-byte packing of a [B, L] 2-bit-code row batch
+    (pads L to a multiple of 4): the dn/trim batch kernels' input
+    wire drops 4x (round 5: the per-batch upload was ~0.5 s/batch of
+    the stamps trim wall over a 10 MB/s tunnel)."""
+    B, L = data.shape
+    Lp = -(-L // 4) * 4
+    if Lp != L:
+        pad = np.zeros((B, Lp - L), np.uint8)
+        data = np.concatenate([data, pad], axis=1)
+    q = data.reshape(B, Lp // 4, 4)
+    return (q[:, :, 0] | (q[:, :, 1] << 2) | (q[:, :, 2] << 4)
+            | (q[:, :, 3] << 6)), L
+
+
+def _unpack_rows_2bit(packed, L):
+    """Device-side inverse of _pack_rows_2bit."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    out = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    return out.reshape(packed.shape[0], -1)[:, :L]
+
+
+def _windowed_sketch_get(spec, table, uk, n_distinct, W=16):
+    """sketch_get over compact-front unique keys in W static windows,
+    lax.cond-skipping windows wholly past n_distinct (their lanes are
+    all SENTINEL).  Exact — a pure gather — but the inactive windows
+    cost ~nothing, so the batched dn/trim kernels pay for the
+    DISTINCT count instead of the padded lane count (round 5: the
+    padded-width preget+flush was ~60% of the per-batch device wall
+    at stamps scale)."""
+    from khmer_tpu.ops.deferred import SENTINEL
+
+    N = uk.shape[0]
+    Wsz = -(-N // W)
+    pad = W * Wsz - N
+    ukp = jnp.concatenate([uk, jnp.full((pad,), SENTINEL, U64)]) \
+        if pad else uk
+
+    def body(w, acc):
+        def active(a):
+            seg = jax.lax.dynamic_slice(ukp, (w * Wsz,), (Wsz,))
+            pre = sketch_get(spec, table, seg).astype(U32)
+            return jax.lax.dynamic_update_slice(a, pre, (w * Wsz,))
+
+        return jax.lax.cond(w * Wsz < n_distinct, active,
+                            lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(0, W, body, jnp.zeros(W * Wsz, U32))
+    return acc[:N]
+
+
+def _windowed_claim_flush(spec, table, uk, totals, firsts, W=16):
+    """Flush the batch kernels' per-unique kept totals into the
+    sketch in W first-occurrence-ordered windows, cond-skipping
+    windows past the kept-distinct count.  Exactness across windows
+    is the deferred flush's argument (ops/deferred.py module
+    docstring): windows are ordered by first occurrence and window
+    j+1's pre-count gathers see window j's scatters through the
+    loop-carried table.  Returns (table, n_new_total)."""
+    from khmer_tpu.ops.deferred import (IDX_SENTINEL, SENTINEL,
+                                        choose_flush_ops)
+
+    I32_ = jnp.int32
+    N = uk.shape[0]
+    n_flush = jnp.sum((firsts != IDX_SENTINEL).astype(I32_))
+    f2, k2, t2 = jax.lax.sort((firsts, uk, totals), num_keys=1)
+    Wsz = -(-N // W)
+    pad = W * Wsz - N
+    if pad:
+        f2 = jnp.concatenate([f2, jnp.full((pad,), IDX_SENTINEL, U32)])
+        k2 = jnp.concatenate([k2, jnp.full((pad,), SENTINEL, U64)])
+        t2 = jnp.concatenate([t2, jnp.zeros((pad,), U32)])
+    ops = choose_flush_ops(spec, Wsz)
+
+    def body(w, carry):
+        def active(c):
+            tbl, nu = c
+            ks = jax.lax.dynamic_slice(k2, (w * Wsz,), (Wsz,))
+            ts = jax.lax.dynamic_slice(t2, (w * Wsz,), (Wsz,))
+            fs = jax.lax.dynamic_slice(f2, (w * Wsz,), (Wsz,))
+            tbl, n_new = ops(spec, tbl, ks, ts, fs, False, False)
+            return tbl, nu + n_new
+
+        return jax.lax.cond(w * Wsz < n_flush, active,
+                            lambda c: c, carry)
+
+    return jax.lax.fori_loop(0, W, body,
+                             (table, jnp.zeros((), U64)))
+
+
 @lru_cache(maxsize=None)
-def _make_diginorm_fn(spec, k, hash_kind):
+def _make_diginorm_fn(spec, k, hash_kind, L=None):
     """Whole-batch digital normalization in ONE device dispatch
     (round-4 VERDICT #6): hash every read, compact in-batch k-mer ids,
     replay the reference's sequential keep decision as a lax.scan over
@@ -634,6 +738,8 @@ def _make_diginorm_fn(spec, k, hash_kind):
     I32_ = jnp.int32
 
     def fn(table, uniq, data, lengths, real, C):
+        if L is not None:
+            data = _unpack_rows_2bit(data, L)
         if hash_kind == "2bit":
             h, valid = kmer_hashes_2bit(data, lengths, k)
         else:
@@ -652,7 +758,8 @@ def _make_diginorm_fn(spec, k, hash_kind):
         uk = jnp.full(N, SENTINEL, U64).at[
             jnp.where(firstm, rank, I32_(N))].set(
             jnp.where(firstm, sk, SENTINEL), mode="drop")
-        pre_u = sketch_get(spec, table, uk).astype(U32)
+        n_distinct = rank[-1] + 1
+        pre_u = _windowed_sketch_get(spec, table, uk, n_distinct)
         invB = inv.reshape(B, 2, nw)
         preB = pre_u[inv].reshape(B, 2, nw)
         validB = valid.reshape(B, 2, nw)
@@ -671,8 +778,9 @@ def _make_diginorm_fn(spec, k, hash_kind):
             return tally, keep
 
         tally0 = jnp.zeros(N, U32)
+        # unroll: see trim scan note
         tally, keeps = jax.lax.scan(
-            step, tally0, (invB, preB, validB, realB))
+            step, tally0, (invB, preB, validB, realB), unroll=8)
 
         # flush kept occurrences with the exact claim rule: the scan's
         # final tally IS the per-unique kept-occurrence total, and the
@@ -681,9 +789,8 @@ def _make_diginorm_fn(spec, k, hash_kind):
         firsts = jnp.full(N, IDX_SENTINEL, U32).at[inv].min(
             jnp.where(keptlane, lanepos, IDX_SENTINEL))
         totals = jnp.minimum(tally, TOTAL_CLAMP)
-        ops = choose_flush_ops(spec, N)
-        table, n_new = ops(spec, table, uk, totals, firsts,
-                           virgin=False, track_bigcount=False)
+        table, n_new = _windowed_claim_flush(spec, table, uk, totals,
+                                             firsts)
         return table, uniq + n_new, keeps
 
     return jax.jit(fn, donate_argnums=(0,))
@@ -969,11 +1076,19 @@ class Hashtable:
                 lengths[i] = r.shape[0]
                 realarr[i] = real[i]
         st = self.storage
-        fn = _make_diginorm_fn(st._read_spec(), k, self.hash_kind)
+        if self.hash_kind == "2bit":
+            # 2-bit-packed upload: 4x less wire (_pack_rows_2bit)
+            data, Lk = _pack_rows_2bit(data)
+        else:
+            Lk = None
+        fn = _make_diginorm_fn(st._read_spec(), k, self.hash_kind,
+                               L=Lk)
+        # ONE batched put: 3 separate puts pay the per-transfer fixed
+        # cost (~0.2 s tunneled) three times
+        d_data, d_len, d_real = jax.device_put((data, lengths, realarr))
         with stage("dn-batch", lanes=n) as _s:
             st.table, st._n_unique, keeps = fn(
-                st.table, st._n_unique, jax.device_put(data),
-                jax.device_put(lengths), jax.device_put(realarr),
+                st.table, st._n_unique, d_data, d_len, d_real,
                 np.uint32(desired_coverage))
             if _s is not None:
                 _s.sync = keeps
@@ -983,13 +1098,15 @@ class Hashtable:
         return keeps[: len(seq_pairs)]
 
     def trim_pass1_batch(self, seq_pairs, trim_at_coverage,
-                         diginorm_coverage=None):
+                         diginorm_coverage=None, cutoff=2):
         """trim-low-abund pass-1 step over a batch of read bundles,
         entirely on device (_make_trim_pass1_fn).  Returns (branch,
-        counts) as a per-bundle branch array (0 skip / 1 trim / 2
-        saved-and-consumed) and the per-row u16 adjusted counts for
-        the trim branch.  Raises ValueError on a real read shorter
-        than k, matching the host _median."""
+        first_bad): the per-bundle branch array (0 skip / 1 trim / 2
+        saved-and-consumed) and each row's first window whose
+        scan-time adjusted count is < cutoff (nw when none) — all
+        trim_record needs (trimming.trim_record_from_first_bad).
+        Raises ValueError on a real read shorter than k, matching the
+        host _median."""
         from khmer_tpu.ops.deferred import stage
 
         k = self._ksize
@@ -1020,20 +1137,25 @@ class Hashtable:
                 lengths[i] = r.shape[0]
                 realarr[i] = real[i]
         st = self.storage
+        if self.hash_kind == "2bit":
+            data, Lk = _pack_rows_2bit(data)
+        else:
+            Lk = None
         fn = _make_trim_pass1_fn(st._read_spec(), k, self.hash_kind,
-                                 diginorm_coverage is not None)
+                                 diginorm_coverage is not None, L=Lk)
         dn = diginorm_coverage if diginorm_coverage is not None else 0
+        d_data, d_len, d_real = jax.device_put((data, lengths, realarr))
         with stage("trim-pass1", lanes=n) as _s:
-            st.table, st._n_unique, branch, counts = fn(
-                st.table, st._n_unique, jax.device_put(data),
-                jax.device_put(lengths), jax.device_put(realarr),
-                np.uint32(trim_at_coverage), np.uint32(dn))
+            st.table, st._n_unique, branch, first_bad = fn(
+                st.table, st._n_unique, d_data, d_len, d_real,
+                np.uint32(trim_at_coverage), np.uint32(dn),
+                np.uint32(cutoff))
             if _s is not None:
                 _s.sync = branch
         st._loaded_occupied = None
         st._virgin = False
         st.mark_dirty()
-        return branch[: len(seq_pairs)], counts
+        return branch[: len(seq_pairs)], first_bad
 
     def count_rows(self, sequences):
         """Per-sequence count arrays in ONE device call, fetching
@@ -1057,10 +1179,9 @@ class Hashtable:
                                  self.hash_kind)
         from khmer_tpu.ops.deferred import stage
 
+        d_data, d_len = jax.device_put((data, lengths))
         with stage("count-rows", lanes=n):
-            counts = np.asarray(fn(self.storage.table,
-                                   jax.device_put(data),
-                                   jax.device_put(lengths)))
+            counts = np.asarray(fn(self.storage.table, d_data, d_len))
         out = []
         for i, r in enumerate(enc_rows):
             w = max(r.shape[0] - k + 1, 0)

@@ -6,6 +6,36 @@ import numpy as np
 from khmer_tpu.io.fastx import Read
 
 
+def trim_record_from_first_bad(ksize, record, w, first_bad):
+    """trim_record decision from the device-computed first-bad-window
+    index (w = the row's window count, first_bad = first window whose
+    adjusted count was < cutoff, or >= w when none) — identical
+    decision logic to trim_record_from_counts without fetching the
+    count matrix (trim_on_abundance/_trim_where, hashtable.cc:503-570).
+    Returns (record_or_None, did_trim)."""
+    seq = record.sequence
+    if w == 1:
+        trim_at = 0
+    elif first_bad >= w:
+        trim_at = len(seq)
+    elif first_bad == 0:
+        trim_at = 0
+    else:
+        trim_at = int(first_bad) + ksize - 1
+
+    if trim_at < ksize:
+        return None, True
+    if trim_at == len(seq):
+        return record, False
+    quality = getattr(record, "quality", None)
+    if quality is not None:
+        trim_rec = Read(name=record.name, sequence=seq[:trim_at],
+                        quality=quality[:trim_at])
+    else:
+        trim_rec = Read(name=record.name, sequence=seq[:trim_at])
+    return trim_rec, True
+
+
 def trim_record_from_counts(ksize, record, counts, cutoff,
                             variable_coverage=False, normalize_to=None):
     """trim_record computed from pre-fetched k-mer counts (one device

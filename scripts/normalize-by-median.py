@@ -42,7 +42,12 @@ from khmer_tpu.utils import (ReadBundle, broken_paired_reader,
                              clean_input_reads, write_record)
 
 DEFAULT_DESIRED_COVERAGE = 20
-BATCH = 2048
+# batch size only trades per-dispatch fixed cost (tunneled/PCIe
+# devices: ~0.2-0.34 s per dispatch, measured round 5) against device
+# array size; the in-batch sequential-tally kernel makes results
+# batch-size-INVARIANT.  16384 pairs cut the stamps diginorm's ~98
+# dispatches to ~13.
+BATCH = int(os.environ.get("KHMER_TPU_DN_BATCH", "16384"))
 
 
 class Normalizer(object):

@@ -34,7 +34,7 @@ from khmer_tpu.kfile import (add_output_compression_type, check_space,
                              check_space_for_graph, check_valid_file_exists,
                              get_file_writer)
 from khmer_tpu.khmer_logger import configure_logging, log_error, log_info
-from khmer_tpu.trimming import trim_record, trim_record_from_counts  # noqa: F401
+from khmer_tpu.trimming import trim_record, trim_record_from_counts, trim_record_from_first_bad  # noqa: F401
 from khmer_tpu.utils import ReadBundle, broken_paired_reader, write_record
 
 DEFAULT_TRIM_AT_COVERAGE = 20
@@ -122,7 +122,10 @@ class Trimmer(object):
     — exact because sketch counts are additive (saturated reads
     compare identically against the small thresholds)."""
 
-    BATCH = 2048
+    # per-dispatch fixed cost vs array size; results are
+    # batch-size-invariant (sequential tally in-kernel) — see
+    # normalize-by-median.py BATCH note
+    BATCH = int(os.environ.get("KHMER_TPU_TRIM_BATCH", "16384"))
 
     def __init__(self, graph, do_trim_low_abund, cutoff, trim_at_coverage):
         self.graph = graph
@@ -177,11 +180,12 @@ class Trimmer(object):
             r1 = bundle.reads[1].cleaned_seq if len(bundle.reads) > 1 \
                 else None
             seq_pairs.append((r0, r1))
-        branch, counts = graph.trim_pass1_batch(
+        branch, first_bad = graph.trim_pass1_batch(
             seq_pairs, self.trim_at_coverage,
-            self.diginorm_coverage if self.do_normalize else None)
+            self.diginorm_coverage if self.do_normalize else None,
+            cutoff=cutoff)
         branch = np.asarray(branch)
-        counts = np.asarray(counts)
+        first_bad = np.asarray(first_bad)
         for i, bundle in enumerate(bundles):
             self.n_reads += bundle.num_reads
             self.n_bp += bundle.total_length
@@ -190,8 +194,8 @@ class Trimmer(object):
             if branch[i] == 1:           # at coverage: trim now
                 for j, read in enumerate(bundle.reads):
                     w = len(read.cleaned_seq) - k + 1
-                    record, did_trim = trim_record_from_counts(
-                        k, read, counts[2 * i + j, :w], cutoff)
+                    record, did_trim = trim_record_from_first_bad(
+                        k, read, w, first_bad[2 * i + j])
                     if did_trim:
                         self.trimmed_reads += 1
                     if record:
