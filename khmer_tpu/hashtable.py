@@ -556,39 +556,76 @@ def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize, L=None):
         dc = dn_cov.astype(U32)
         co = cutoff.astype(U32)
 
+        # K-bundle links: see the diginorm kernel's note (identical
+        # construction; only kept == (branch == 2) differs)
+        K = _SCAN_LINK
+        Bp = -(-B // K) * K
+        padB = Bp - B
+        if padB:
+            invB = jnp.concatenate(
+                [invB, jnp.zeros((padB, 2, nw), I32_)])
+            preB = jnp.concatenate(
+                [preB, jnp.zeros((padB, 2, nw), U32)])
+            validB = jnp.concatenate(
+                [validB, jnp.zeros((padB, 2, nw), bool)])
+            realB = jnp.concatenate(
+                [realB, jnp.zeros((padB, 2), bool)])
+            nrow = jnp.concatenate(
+                [nrow, jnp.zeros((padB, 2), I32_)])
+        invB = invB.reshape(Bp // K, K, 2, nw)
+        preB = preB.reshape(Bp // K, K, 2, nw)
+        validB = validB.reshape(Bp // K, K, 2, nw)
+        realB = realB.reshape(Bp // K, K, 2)
+        nrow = nrow.reshape(Bp // K, K, 2)
+
         def step(tally, x):
             # branch tests need only median-vs-threshold comparisons:
             # sorted-ascending median s[nr//2] >= T iff at least
-            # nr - nr//2 counts are >= T — no in-scan sort (a per-step
-            # [2, nw] sort cost ~0.6 ms on TPU, 2048x per batch)
+            # nr - nr//2 counts are >= T — no in-scan sort
             ids, pr, val, rl, nr = x
-            cnt = pr + tally[ids]  # [2, nw]
-            need = nr - nr // 2
+            idsf = ids.reshape(K, -1)
+            valf = val.reshape(K, -1)
+            base = pr + tally[ids]
+            eq = (idsf[:, None, :, None] == idsf[None, :, None, :])
+            contrib = jnp.sum(
+                (eq & valf[:, None, :, None]).astype(U32), axis=2)
+            branches, fbs = [], []
+            for j in range(K):
+                cnt = base[j]
+                for i in range(j):
+                    cnt = cnt + jnp.where(
+                        branches[i] == I32_(2),
+                        contrib[i, j].reshape(2, nw), U32(0))
+                need = nr[j] - nr[j] // 2
 
-            def all_rows_med_ge(T):
-                ge = jnp.sum(((cnt >= T) & val).astype(I32_), axis=1)
-                return jnp.where(rl, ge >= need, True).all()
+                def all_rows_med_ge(T, cnt=cnt, j=j):
+                    ge = jnp.sum(((cnt >= T) & val[j]).astype(I32_),
+                                 axis=1)
+                    return jnp.where(rl[j], ge >= need, True).all()
 
-            if do_normalize:
-                branch = jnp.where(
-                    all_rows_med_ge(dc), I32_(0),
-                    jnp.where(all_rows_med_ge(ta), I32_(1), I32_(2)))
-            else:
-                branch = jnp.where(all_rows_med_ge(ta), I32_(1),
+                if do_normalize:
+                    br = jnp.where(
+                        all_rows_med_ge(dc), I32_(0),
+                        jnp.where(all_rows_med_ge(ta), I32_(1),
+                                  I32_(2)))
+                else:
+                    br = jnp.where(all_rows_med_ge(ta), I32_(1),
                                    I32_(2))
-            add = (val & (branch == 2)).astype(U32)
+                branches.append(br)
+                wi = jax.lax.broadcasted_iota(I32_, cnt.shape, 1)
+                fbs.append(jnp.min(
+                    jnp.where((cnt < co) & val[j], wi, I32_(nw)),
+                    axis=1))
+            branch = jnp.stack(branches)
+            add = (val & (branch == I32_(2))[:, None, None]).astype(U32)
             tally = tally.at[ids.reshape(-1)].add(add.reshape(-1))
-            wi = jax.lax.broadcasted_iota(I32_, cnt.shape, 1)
-            fb = jnp.min(jnp.where((cnt < co) & val, wi, I32_(nw)),
-                         axis=1)
-            return tally, (branch, fb)
+            return tally, (branch, jnp.stack(fbs))
 
         tally0 = jnp.zeros(N, U32)
-        # unroll amortizes the TPU while-loop's per-iteration fixed
-        # cost (~100us/bundle measured round 5 -- the whole wall of
-        # trim/diginorm at stamps scale) over 8 bundles per step
         tally, (branch, fbad) = jax.lax.scan(
-            step, tally0, (invB, preB, validB, realB, nrow), unroll=8)
+            step, tally0, (invB, preB, validB, realB, nrow))
+        branch = branch.reshape(-1)[:B]
+        fbad = fbad.reshape(-1, 2)[:B].reshape(B2)
 
         # consume the saved bundles' k-mers with the exact claim rule
         keptlane = valid.reshape(-1) & jnp.repeat(branch == 2, 2 * nw)
@@ -597,7 +634,7 @@ def _make_trim_pass1_fn(spec, k, hash_kind, do_normalize, L=None):
         totals = jnp.minimum(tally, TOTAL_CLAMP)
         table, n_new = _windowed_claim_flush(spec, table, uk, totals,
                                              firsts)
-        return table, uniq + n_new, branch, fbad.reshape(B2)
+        return table, uniq + n_new, branch, fbad
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -620,6 +657,13 @@ def _make_median_at_least_fn(spec, k, hash_kind):
         return (hits >= min_req) & (n > 0)
 
     return jax.jit(fn)
+
+
+# bundles per sequential scan link in the dn/trim batch kernels
+# (round 5: each link costs ~28 us of dependent gather->scatter
+# latency regardless of body size, so K bundles share one link with
+# exact in-link overlap correction)
+_SCAN_LINK = int(os.environ.get("KHMER_TPU_SCAN_LINK", "8"))
 
 
 def _pack_rows_2bit(data):
@@ -760,27 +804,65 @@ def _make_diginorm_fn(spec, k, hash_kind, L=None):
             jnp.where(firstm, sk, SENTINEL), mode="drop")
         n_distinct = rank[-1] + 1
         pre_u = _windowed_sketch_get(spec, table, uk, n_distinct)
+        # K-bundle links (round 5): the sequential chain costs a
+        # fixed ~28 us per scan step regardless of body size (the
+        # dependent tally gather->scatter latency), so K bundles ride
+        # ONE step; in-link sequential exactness is restored by the
+        # overlap matrix contrib[i, j, lane] = bundle i's kept-lane
+        # occurrences of bundle j's lane k-mer, added for kept i < j
+        # -- exactly what the per-bundle tally would have added.
+        K = _SCAN_LINK
+        Bp = -(-B // K) * K
+        padB = Bp - B
         invB = inv.reshape(B, 2, nw)
         preB = pre_u[inv].reshape(B, 2, nw)
         validB = valid.reshape(B, 2, nw)
         realB = real.reshape(B, 2)
+        if padB:
+            invB = jnp.concatenate(
+                [invB, jnp.zeros((padB, 2, nw), I32_)])
+            preB = jnp.concatenate(
+                [preB, jnp.zeros((padB, 2, nw), U32)])
+            validB = jnp.concatenate(
+                [validB, jnp.zeros((padB, 2, nw), bool)])
+            realB = jnp.concatenate(
+                [realB, jnp.zeros((padB, 2), bool)])
+        invB = invB.reshape(Bp // K, K, 2, nw)
+        preB = preB.reshape(Bp // K, K, 2, nw)
+        validB = validB.reshape(Bp // K, K, 2, nw)
+        realB = realB.reshape(Bp // K, K, 2)
         Cc = C.astype(U32)
 
         def step(tally, x):
             ids, pr, val, rl = x
-            cnt = pr + tally[ids]
-            hits = jnp.sum(((cnt >= Cc) & val).astype(I32_), axis=1)
-            nr = jnp.sum(val.astype(I32_), axis=1)
-            keep_row = rl & ((nr == 0) | (hits < (nr + 1) // 2))
-            keep = keep_row.any()
-            add = (val & keep).astype(U32)
+            idsf = ids.reshape(K, -1)
+            valf = val.reshape(K, -1)
+            base = pr + tally[ids]
+            eq = (idsf[:, None, :, None] == idsf[None, :, None, :])
+            contrib = jnp.sum(
+                (eq & valf[:, None, :, None]).astype(U32), axis=2)
+            keeps_l = []
+            for j in range(K):
+                cnt = base[j]
+                for i in range(j):
+                    cnt = cnt + jnp.where(
+                        keeps_l[i], contrib[i, j].reshape(2, nw),
+                        U32(0))
+                hits = jnp.sum(((cnt >= Cc) & val[j]).astype(I32_),
+                               axis=1)
+                nr = jnp.sum(val[j].astype(I32_), axis=1)
+                keep_row = rl[j] & ((nr == 0) |
+                                    (hits < (nr + 1) // 2))
+                keeps_l.append(keep_row.any())
+            keep_vec = jnp.stack(keeps_l)
+            add = (val & keep_vec[:, None, None]).astype(U32)
             tally = tally.at[ids.reshape(-1)].add(add.reshape(-1))
-            return tally, keep
+            return tally, keep_vec
 
         tally0 = jnp.zeros(N, U32)
-        # unroll: see trim scan note
         tally, keeps = jax.lax.scan(
-            step, tally0, (invB, preB, validB, realB), unroll=8)
+            step, tally0, (invB, preB, validB, realB))
+        keeps = keeps.reshape(-1)[:B]
 
         # flush kept occurrences with the exact claim rule: the scan's
         # final tally IS the per-unique kept-occurrence total, and the

@@ -797,3 +797,33 @@ def test_normalize_by_median_long_k_load_fails():
 
     assert status == 1
     assert 'ERROR: cannot load different hash functions yet.' in err
+
+
+def test_scan_link_width_invariance():
+    """KHMER_TPU_SCAN_LINK (bundles per sequential scan link in the
+    batched dn/trim kernels) must not change ANY output byte: the
+    in-link overlap correction replays the per-bundle tally exactly
+    (round-5 K-bundle links)."""
+    import subprocess
+    import sys
+
+    infile = utils.get_test_data('test-abund-read-2.fa')
+    outs = {}
+    for link in ("1", "3", "8"):
+        outfile = utils.get_temp_filename('keep_%s.fa' % link)
+        env = utils.subprocess_env()
+        env["KHMER_TPU_PLATFORM"] = "cpu"
+        env["KHMER_TPU_SCAN_LINK"] = link
+        r = subprocess.run(
+            [sys.executable,
+             utils.scriptpath('normalize-by-median.py'),
+             '-C', '2', '-k', '17', '-o', outfile, infile],
+            capture_output=True, text=True, timeout=300, env=env)
+        assert r.returncode == 0, r.stderr[-1500:]
+        with open(outfile, 'rb') as f:
+            outs[link] = f.read()
+        assert 'Total number of unique k-mers' in r.stderr
+        outs[link + ':err'] = [
+            l for l in r.stderr.splitlines() if 'unique' in l]
+    assert outs["1"] == outs["3"] == outs["8"]
+    assert outs["1:err"] == outs["3:err"] == outs["8:err"]
