@@ -130,6 +130,53 @@ def main(quick=False):
     stage(results, "load-into-counting", "load-into-counting(stamps)",
           dt, STAMPS_READS, stages=st)
 
+    # 1b. the one-process 3-stage stamps pipeline (round-5 VERDICT
+    #     #4): load-into-counting + diginorm + trim-low-abund through
+    #     scripts/khmer-run-pipeline.py — one interpreter+backend
+    #     startup, shared warm caches; per-stage walls parsed from
+    #     the driver's stderr report
+    import shutil
+
+    three_dir = tempfile.mkdtemp(prefix="khmer_stamps3_")
+    shutil.copy(STAMPS_READS, three_dir)
+    stagefile = os.path.join(three_dir, "stages.txt")
+    with open(stagefile, "w") as f:
+        f.write("load-into-counting.py -x 1e8 -k 20 stamps-reads.ct "
+                "stamps-reads.fa.gz\n"
+                "normalize-by-median.py -k 20 -C 20 -x 1e8 -o "
+                "stamps.keep.fa stamps-reads.fa.gz\n"
+                "trim-low-abund.py -k 20 -M 4e8 stamps-reads.fa.gz\n")
+    best = None
+    for _ in range(2):
+        for junk in ("stamps-reads.ct", "stamps.keep.fa"):
+            p = os.path.join(three_dir, junk)
+            if os.path.exists(p):
+                os.unlink(p)
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(SCRIPTS, "khmer-run-pipeline.py"),
+             "@" + stagefile],
+            capture_output=True, text=True, cwd=three_dir)
+        dt = time.perf_counter() - t0
+        if r.returncode == 0 and (best is None or dt < best[0]):
+            per = {}
+            for line in r.stderr.splitlines():
+                if line.startswith("[khmer-run-pipeline]") and \
+                        ".py:" in line:
+                    name, rest = line.split("] ", 1)[1].split(": ", 1)
+                    per[name] = float(rest.split("s ")[0])
+            best = (dt, per)
+    if best:
+        entry = {"stage": "stamps 3-stage one-process "
+                          "(load+diginorm+trim)",
+                 "seconds": round(best[0], 3),
+                 "per_stage_s": best[1],
+                 "input_mb": round(os.path.getsize(STAMPS_READS) / 1e6,
+                                   2)}
+        results.setdefault("stamps-3stage", []).append(entry)
+        print("[stamps-3stage]", entry, flush=True)
+
     # 2. normalize-by-median -C 20 (paired streaming config)
     dt, st = run_script("normalize-by-median.py", "-k", "20", "-C", "20",
                     "-x", "1e8", "-o", "stamps.keep.fa", STAMPS_READS)
