@@ -55,10 +55,10 @@ def main():
 
     def flush(batch):
         nonlocal n_kept
-        rows = htable._hash_count_rows([r.cleaned_seq for r in batch])
+        rows = htable.count_rows([r.cleaned_seq for r in batch])
         import numpy as np
 
-        for read, (_, counts) in zip(batch, rows):
+        for read, counts in zip(batch, rows):
             if counts.size == 0:
                 continue
             med = int(np.sort(counts)[counts.size // 2])
@@ -77,7 +77,7 @@ def main():
         if len(record.cleaned_seq) < htable.ksize():
             continue
         batch.append(record)
-        if len(batch) >= 512:
+        if len(batch) >= 8192:
             flush(batch)
             batch = []
     if batch:

@@ -110,7 +110,7 @@ def main():
 
         if ksize <= len(seq):
             batch.append((record.name, seq))
-            if len(batch) >= 512:
+            if len(batch) >= 8192:
                 flush(batch)
                 batch = []
     if batch:

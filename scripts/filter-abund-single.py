@@ -130,8 +130,8 @@ def main():
 
     # the graph is frozen during the filtering pass: batch the fetches
     def flush(batch):
-        rows = graph._hash_count_rows([r.cleaned_seq for r in batch])
-        for read, (_, counts) in zip(batch, rows):
+        rows = graph.count_rows([r.cleaned_seq for r in batch])
+        for read, counts in zip(batch, rows):
             trimmed_record, _ = trim_record_from_counts(
                 graph.ksize(), read, counts, args.cutoff,
                 args.variable_coverage, args.normalize_to)
@@ -143,7 +143,7 @@ def main():
         assert not is_pair
         assert read2 is None
         batch.append(read1)
-        if len(batch) >= 512:
+        if len(batch) >= 8192:
             flush(batch)
             batch = []
     if batch:

@@ -125,9 +125,9 @@ def main():
         # the countgraph is frozen here, so whole batches of reads are
         # trimmed from one device fetch
         def flush(batch):
-            rows = countgraph._hash_count_rows(
+            rows = countgraph.count_rows(
                 [r.cleaned_seq for r in batch])
-            for read, (_, counts) in zip(batch, rows):
+            for read, counts in zip(batch, rows):
                 trimmed_record, _ = trim_record_from_counts(
                     ksize, read, counts, args.cutoff,
                     args.variable_coverage, args.normalize_to)
@@ -139,7 +139,7 @@ def main():
             assert not is_pair
             assert read2 is None
             batch.append(read1)
-            if len(batch) >= 512:
+            if len(batch) >= 8192:
                 flush(batch)
                 batch = []
         if batch:
