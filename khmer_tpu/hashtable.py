@@ -663,7 +663,7 @@ def _make_median_at_least_fn(spec, k, hash_kind):
 # (round 5: each link costs ~28 us of dependent gather->scatter
 # latency regardless of body size, so K bundles share one link with
 # exact in-link overlap correction)
-_SCAN_LINK = int(os.environ.get("KHMER_TPU_SCAN_LINK", "8"))
+_SCAN_LINK = int(os.environ.get("KHMER_TPU_SCAN_LINK", "16"))
 
 
 def _pack_rows_2bit(data):
