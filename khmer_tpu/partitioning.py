@@ -90,7 +90,14 @@ class SubsetPartition:
             out["c"] = canon_a
             return out
 
-        visited = np.empty(0, pair_dt)   # sorted
+        # per-seed visited sets as sorted native u64 arrays: round-4
+        # kept ONE structured (sid, canon) array re-sorted per level,
+        # whose generic-compare searchsorted/sort crawled on dense
+        # graphs (stamps-reads: >4x slower membership and an
+        # O(V log V) re-sort per BFS level); native keys + O(V)
+        # insert-merge replace both
+        visited = [None] * n             # sid -> sorted u64 canons
+        visited_total = np.zeros(n, np.int64)
         tagged = np.empty(0, pair_dt)    # unsorted accumulation
         aborted = np.zeros(n, bool)
 
@@ -119,9 +126,8 @@ class SubsetPartition:
         while cf.size:
             # per-seed BIG_TRAVERSALS abort, checked at level start
             # (reference subset.cc:54,335-427 granularity note)
-            if stop_big_traversals and visited.size:
-                sizes = np.bincount(visited["s"], minlength=n)
-                newly = (sizes > BIG_TRAVERSALS_ARE) & ~aborted
+            if stop_big_traversals:
+                newly = (visited_total > BIG_TRAVERSALS_ARE) & ~aborted
                 if newly.any():
                     aborted |= newly
                     if tagged.size:
@@ -145,28 +151,48 @@ class SubsetPartition:
             # dedup (sid, canon) across the whole frontier; stopped/
             # out-of-range canons are NOT marked visited (reference
             # order: dedup, stop, range, THEN insert)
-            pairs = _pairs(sid[lanes], canon[lanes])
-            order = np.argsort(pairs, kind="stable")
-            sp = pairs[order]
-            first = np.ones(sp.shape[0], bool)
-            first[1:] = sp[1:] != sp[:-1]
-            uniq = sp[first]
+            l_sid = sid[lanes]
+            l_canon = canon[lanes]
+            order = np.lexsort((l_canon, l_sid))
+            sp_s = l_sid[order]
+            sp_c = l_canon[order]
+            first = np.ones(sp_s.shape[0], bool)
+            first[1:] = (sp_s[1:] != sp_s[:-1]) | (sp_c[1:] != sp_c[:-1])
+            u_sid = sp_s[first]
+            u_canon = sp_c[first]
             rep = lanes[order[first]]  # one frontier lane per pair
-            if visited.size:
-                pos = np.searchsorted(visited, uniq)
-                pos[pos >= visited.size] = 0
-                new_mask = visited[pos] != uniq
-                uniq, rep = uniq[new_mask], rep[new_mask]
-            if uniq.size == 0:
+            # membership + insert-merge against each seed's sorted
+            # canon array (frontier pairs are grouped by sid already)
+            new_mask = np.ones(u_sid.shape[0], bool)
+            grp_sids, grp_starts = np.unique(u_sid, return_index=True)
+            grp_ends = np.append(grp_starts[1:], u_sid.shape[0])
+            for gsid, glo, ghi in zip(grp_sids, grp_starts, grp_ends):
+                arr = visited[gsid]
+                seg = u_canon[glo:ghi]
+                if arr is None:
+                    visited[gsid] = seg.copy()
+                    visited_total[gsid] = seg.shape[0]
+                    continue
+                pos = np.searchsorted(arr, seg)
+                pos_c = np.minimum(pos, arr.shape[0] - 1)
+                fresh = arr[pos_c] != seg
+                fresh |= pos >= arr.shape[0]
+                new_mask[glo:ghi] = fresh
+                if fresh.any():
+                    visited[gsid] = np.insert(arr, pos[fresh],
+                                              seg[fresh])
+                    visited_total[gsid] = visited[gsid].shape[0]
+            u_sid, u_canon = u_sid[new_mask], u_canon[new_mask]
+            rep = rep[new_mask]
+            if u_sid.size == 0:
                 break
-            merged = np.concatenate([visited, uniq])
-            merged.sort(kind="stable")
-            visited = merged
-            tag_mask = np.zeros(uniq.shape[0], bool)
+            tag_mask = np.zeros(u_sid.shape[0], bool)
             if not first_level and tags_arr.size:
-                tag_mask = _member(tags_arr, uniq["c"])
+                tag_mask = _member(tags_arr, u_canon)
             if tag_mask.any():
-                tagged = np.concatenate([tagged, uniq[tag_mask]])
+                tagged = np.concatenate(
+                    [tagged, _pairs(u_sid[tag_mask],
+                                    u_canon[tag_mask])])
             if breadth >= max_breadth:
                 break
             rep = rep[~tag_mask]
