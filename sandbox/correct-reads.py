@@ -231,7 +231,7 @@ def main():
                 print('...', n, filename, save_pass2, n_reads, n_bp,
                       written_reads, written_bp, file=sys.stderr)
             batch.append((is_pair, read1, read2))
-            if len(batch) >= 1024:
+            if len(batch) >= 8192:
                 process_batch(batch)
                 batch = []
         if batch:
@@ -274,7 +274,7 @@ def main():
                 written_bp += len(read.sequence)
                 continue
             batch2.append(read)
-            if len(batch2) >= 1024:
+            if len(batch2) >= 8192:
                 process_batch2(batch2)
                 batch2 = []
         if batch2:
