@@ -385,6 +385,7 @@ def main():
                          "captured_unix": record["captured_unix"]}
         if prev_best is not None:
             record["best"] = prev_best
+            _update_best(best=prev_best)
         with open(LKG, "w") as f:
             json.dump(record, f, indent=1)
     _emit(final=final)
